@@ -1,0 +1,79 @@
+"""VGG-11-BN pyramid backbone in Flax (NHWC).
+
+Reproduces the reference's stage splits of torchvision vgg11_bn features
+(reference network/pretrain_models.py:9-40,102-111):
+
+  stage0: conv(3->64)   bn relu                      stride 1
+  stage1: pool conv(64->128) bn relu                 stride 2
+  stage2: pool conv(128->256) bn relu conv bn relu   stride 4
+  stage3: pool conv(256->512) bn relu conv bn relu   stride 8   -> x0
+  stage4: pool conv(512->512) bn relu conv bn        stride 16  -> x1 (NO final relu:
+          split (21,27) ends at the bn, pretrain_models.py:110)
+  final:  pool                                       stride 32  -> x2 = maxpool(x1)
+
+Variants (selected by which stage outputs are returned):
+- 'p8_16_32'  (VGGBNPretrain, detector/selector): (x0, x1, x2)
+- 'p4_8_16'   (VGGBNPretrainV3, refiner): (s4, s8, s16)
+- 'p1_2_4_8'  (VGGBNPretrainV4): (s1, s2, s4, s8)
+
+The backbone is frozen pretrained weights; FrozenBatchNorm applies running
+stats always (eval-mode BN, detector.py:188-197). ImageNet weights load via
+gen6d_tpu.models.convert from a torch vgg11_bn state dict.
+"""
+from typing import Sequence
+
+import flax.linen as nn
+
+from gen6d_tpu.models.layers import FrozenBatchNorm, max_pool_2x2, conv3x3
+
+
+class _ConvBN(nn.Module):
+    features: int
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv3x3(self.features, name='conv')(x)
+        x = FrozenBatchNorm(self.features, name='bn')(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class VGG11BN(nn.Module):
+    """Pyramid VGG-11-BN; returns the stage outputs named by ``outputs``."""
+    outputs: Sequence[str] = ('s8', 's16', 's32')
+
+    @nn.compact
+    def __call__(self, x):
+        feats = {}
+        x = _ConvBN(64, name='stage0_0')(x)
+        feats['s1'] = x
+        x = max_pool_2x2(x)
+        x = _ConvBN(128, name='stage1_0')(x)
+        feats['s2'] = x
+        x = max_pool_2x2(x)
+        x = _ConvBN(256, name='stage2_0')(x)
+        x = _ConvBN(256, name='stage2_1')(x)
+        feats['s4'] = x
+        x = max_pool_2x2(x)
+        x = _ConvBN(512, name='stage3_0')(x)
+        x = _ConvBN(512, name='stage3_1')(x)
+        feats['s8'] = x
+        x = max_pool_2x2(x)
+        x = _ConvBN(512, name='stage4_0')(x)
+        x = _ConvBN(512, relu=False, name='stage4_1')(x)  # split ends at bn
+        feats['s16'] = x
+        feats['s32'] = max_pool_2x2(x)
+        return tuple(feats[k] for k in self.outputs)
+
+
+# reference-variant aliases
+def vgg_detector_selector():
+    """VGGBNPretrain: strides 8/16/32 (pretrain_models.py:17-25)."""
+    return VGG11BN(outputs=('s8', 's16', 's32'))
+
+
+def vgg_refiner():
+    """VGGBNPretrainV3: strides 4/8/16 (pretrain_models.py:61-72)."""
+    return VGG11BN(outputs=('s4', 's8', 's16'))
