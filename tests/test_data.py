@@ -1,0 +1,183 @@
+import os
+import struct
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gen6d_tpu.data import database as D
+from gen6d_tpu.data import ref_prep as RP
+from gen6d_tpu.data.ply import load_ply_vertices
+from gen6d_tpu.data.colmap import read_model, rotmat2qvec, qvec2rotmat
+from gen6d_tpu.data.synthetic import SyntheticScene, render_cube
+from gen6d_tpu.geometry.camera import project_points
+
+
+class TestSynthetic:
+    def test_render_consistency(self):
+        scene = SyntheticScene(n_views=8)
+        img, mask = scene.render(0)
+        assert img.shape == (480, 640, 3) and mask.sum() > 500
+        # GT: projected cube corners bound the rendered mask
+        corners = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                            for z in (-0.5, 0.5)], np.float32)
+        pts2d, _ = project_points(jnp.asarray(corners), jnp.asarray(scene.poses[0]),
+                                  jnp.asarray(scene.K))
+        pts2d = np.array(pts2d)
+        ys, xs = np.nonzero(mask)
+        assert xs.min() >= pts2d[:, 0].min() - 2 and xs.max() <= pts2d[:, 0].max() + 2
+        assert ys.min() >= pts2d[:, 1].min() - 2 and ys.max() <= pts2d[:, 1].max() + 2
+
+    def test_views_differ(self):
+        scene = SyntheticScene(n_views=8)
+        img0, _ = scene.render(0)
+        img5, _ = scene.render(5)
+        assert np.abs(img0.astype(int) - img5.astype(int)).mean() > 1
+
+
+class TestDatabase:
+    def test_synthetic_database(self):
+        db = D.parse_database_name('synthetic/16')
+        assert len(db.get_img_ids()) == 16
+        assert db.get_image('0').shape == (480, 640, 3)
+        assert D.get_diameter(db) == pytest.approx(np.sqrt(3))
+        np.testing.assert_allclose(D.get_object_center(db), np.zeros(3))
+        ref_ids, que_ids = D.get_database_split(db, 'synthetic_split')
+        assert set(ref_ids).isdisjoint(que_ids)
+        assert len(ref_ids) + len(que_ids) == 16
+
+    def test_normalized_database(self):
+        db = D.parse_database_name('synthetic/8')
+        ndb = D.NormalizedDatabase(db)
+        assert D.get_diameter(ndb) == 2.0
+        # normalized pose projects scaled points identically (up to focal):
+        pose = db.get_pose('0')
+        npose = ndb.get_pose('0')
+        pts = D.get_ref_point_cloud(db)[:10]
+        npts = D.get_ref_point_cloud(ndb)[:10]
+        a, _ = project_points(jnp.asarray(pts), jnp.asarray(pose), jnp.asarray(db.get_K('0')))
+        b, _ = project_points(jnp.asarray(npts), jnp.asarray(npose), jnp.asarray(ndb.get_K('0')))
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-2)
+
+    def test_normalize_denormalize_roundtrip(self):
+        db = D.parse_database_name('synthetic/8')
+        pose = db.get_pose('2')
+        p2 = D.denormalize_pose(D.normalize_pose(pose, 0.7, np.array([0.1, 0.2, 0.3], np.float32)),
+                                0.7, np.array([0.1, 0.2, 0.3], np.float32))
+        np.testing.assert_allclose(p2, pose, atol=1e-5)
+
+
+class TestPly:
+    def test_binary_roundtrip(self, tmp_path):
+        pts = np.random.RandomState(0).rand(17, 3).astype(np.float32)
+        p = tmp_path / 'a.ply'
+        with open(p, 'wb') as f:
+            f.write(b'ply\nformat binary_little_endian 1.0\n')
+            f.write(b'element vertex 17\n')
+            f.write(b'property float x\nproperty float y\nproperty float z\n')
+            f.write(b'end_header\n')
+            f.write(pts.astype('<f4').tobytes())
+        np.testing.assert_allclose(load_ply_vertices(str(p)), pts)
+
+    def test_ascii(self, tmp_path):
+        p = tmp_path / 'b.ply'
+        with open(p, 'wb') as f:
+            f.write(b'ply\nformat ascii 1.0\nelement vertex 2\n')
+            f.write(b'property float x\nproperty float y\nproperty float z\n')
+            f.write(b'end_header\n1 2 3\n4 5 6\n')
+        np.testing.assert_allclose(load_ply_vertices(str(p)),
+                                   [[1, 2, 3], [4, 5, 6]])
+
+
+class TestColmap:
+    def test_binary_model_roundtrip(self, tmp_path):
+        # write a minimal COLMAP binary model and read it back
+        with open(tmp_path / 'cameras.bin', 'wb') as f:
+            f.write(struct.pack('<Q', 1))
+            f.write(struct.pack('<iiQQ', 1, 2, 640, 480))  # SIMPLE_RADIAL
+            f.write(struct.pack('<dddd', 500.0, 320.0, 240.0, 0.0))
+        R = np.eye(3)
+        q = rotmat2qvec(R)
+        with open(tmp_path / 'images.bin', 'wb') as f:
+            f.write(struct.pack('<Q', 1))
+            f.write(struct.pack('<i', 1))
+            f.write(struct.pack('<dddd', *q))
+            f.write(struct.pack('<ddd', 0.1, 0.2, 3.0))
+            f.write(struct.pack('<i', 1))
+            f.write(b'0.jpg\x00')
+            f.write(struct.pack('<Q', 0))
+        with open(tmp_path / 'points3D.bin', 'wb') as f:
+            f.write(struct.pack('<Q', 1))
+            f.write(struct.pack('<Q', 7))
+            f.write(struct.pack('<ddd', 1.0, 2.0, 3.0))
+            f.write(struct.pack('<BBB', 10, 20, 30))
+            f.write(struct.pack('<d', 0.5))
+            f.write(struct.pack('<Q', 0))
+        cams, imgs, pts = read_model(str(tmp_path))
+        assert cams[1].K()[0, 0] == 500.0
+        pose = imgs[1].pose()
+        np.testing.assert_allclose(pose[:, :3], np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(pose[:, 3], [0.1, 0.2, 3.0], atol=1e-6)
+        np.testing.assert_allclose(pts[0][0], [1, 2, 3])
+
+    def test_qvec_roundtrip(self, rng):
+        A = rng.randn(3, 3)
+        Q, _ = np.linalg.qr(A)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        np.testing.assert_allclose(qvec2rotmat(rotmat2qvec(Q)), Q, atol=1e-6)
+
+
+class TestRefPrep:
+    def test_normalized_views_center_object(self):
+        """Warped reference crops must have the object centered and scaled to
+        fill size*(1-margin) (database_utils.py:54-110 semantics)."""
+        db = D.parse_database_name('synthetic/8')
+        ids = db.get_img_ids()[:4]
+        imgs, masks, poses, Ks = RP.gather_images(db, ids)
+        size, margin = 128, 0.05
+        out_imgs, out_masks, K_new, pose_new, Hs = RP.normalize_reference_views_device(
+            jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(poses),
+            jnp.asarray(Ks), jnp.asarray(db.scene.center),
+            db.scene.diameter, size, margin,
+            object_vert=jnp.asarray(db.scene.vert))
+        out_masks = np.array(out_masks)
+        for i in range(4):
+            m = out_masks[i] > 0.5
+            assert m.sum() > 100
+            ys, xs = np.nonzero(m)
+            cx, cy = xs.mean(), ys.mean()
+            assert abs(cx - size / 2) < 8 and abs(cy - size / 2) < 8
+            extent = max(xs.max() - xs.min(), ys.max() - ys.min())
+            assert extent <= size  # fits
+            assert extent > 0.3 * size  # and is reasonably large
+
+        # the new K/pose project the object center to the crop center
+        for i in range(4):
+            cen, _ = project_points(jnp.zeros((1, 3)), pose_new[i], K_new[i])
+            np.testing.assert_allclose(np.array(cen)[0], [size / 2, size / 2],
+                                       atol=0.5)
+
+    def test_vert_rectification_aligns_up(self):
+        """With object_vert rectification the object's +z axis must point to
+        image Y- in every crop."""
+        db = D.parse_database_name('synthetic/8')
+        ids = db.get_img_ids()[:4]
+        imgs, masks, poses, Ks = RP.gather_images(db, ids)
+        _, _, K_new, pose_new, _ = RP.normalize_reference_views_device(
+            jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(poses),
+            jnp.asarray(Ks), jnp.asarray(db.scene.center), db.scene.diameter,
+            128, 0.05, object_vert=jnp.asarray(db.scene.vert))
+        for i in range(4):
+            c0, _ = project_points(jnp.asarray([[0, 0, 0.0]]), pose_new[i], K_new[i])
+            c1, _ = project_points(jnp.asarray([[0, 0, 0.3]]), pose_new[i], K_new[i])
+            d = np.array(c1 - c0)[0]
+            # up in world should be up (-y) in the crop
+            assert d[1] < 0
+            assert abs(d[0]) < 0.3 * abs(d[1])
+
+    def test_fps_selection(self):
+        db = D.parse_database_name('synthetic/32')
+        ids = RP.select_reference_img_ids_fps(db, db.get_img_ids(), 8)
+        assert len(ids) == 8 and len(set(ids.tolist())) == 8
