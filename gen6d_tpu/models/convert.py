@@ -59,12 +59,15 @@ VGG_LAYERS = [
 
 
 def convert_vgg(sd, prefix='backbone'):
-    """torch `<prefix>.features.{i}` -> VGG11BN params."""
+    """torch `<prefix>.features.{i}` -> VGG11BN params, with the torchvision
+    Normalize(mean,std) folded into stage0's conv (the gen6d_tpu models feed
+    raw [0,1] images; see models/vgg.py:fold_imagenet_normalization)."""
+    from gen6d_tpu.models.vgg import fold_imagenet_normalization
     out = {}
     for ci, bi, name in VGG_LAYERS:
         out[name] = {'conv': conv2d(sd, f'{prefix}.features.{ci}'),
                      'bn': bn(sd, f'{prefix}.features.{bi}')}
-    return out
+    return fold_imagenet_normalization(out)
 
 
 def convert_detector(sd):

@@ -20,8 +20,8 @@ import numpy as np
 from jax import lax
 
 from gen6d_tpu.models.vgg import VGG11BN
-from gen6d_tpu.ops.image import (normalize_imagenet, resize_bilinear,
-                                 resize_nearest, upsample_nearest)
+from gen6d_tpu.ops.image import (resize_bilinear, resize_nearest,
+                                 upsample_nearest)
 
 DEFAULT_DETECTOR_CFG: Dict[str, Any] = {
     # per-level correlation score statistics (detector.py:138-139)
@@ -106,8 +106,9 @@ class Detector(nn.Module):
 
     def extract_feats(self, imgs):
         """imgs: (n,h,w,3) in [0,1] -> (s8, s16, s32) feats (frozen backbone)."""
-        x = normalize_imagenet(imgs)
-        x0, x1, x2 = self.backbone(x)
+        # ImageNet normalization is folded into the backbone's first conv
+        # (models/vgg.py:fold_imagenet_normalization)
+        x0, x1, x2 = self.backbone(imgs)
         return lax.stop_gradient(x0), lax.stop_gradient(x1), lax.stop_gradient(x2)
 
     def load_ref(self, ref_imgs):

@@ -19,7 +19,7 @@ from jax import lax
 
 from gen6d_tpu.models.layers import instance_norm, l2_normalize, leaky_relu_01
 from gen6d_tpu.models.vgg import VGG11BN
-from gen6d_tpu.ops.image import normalize_imagenet, resize_bilinear
+from gen6d_tpu.ops.image import resize_bilinear
 from gen6d_tpu.ops.sampling import sample_bilinear
 
 
@@ -37,8 +37,8 @@ class RefineFeatureNet(nn.Module):
 
     @nn.compact
     def __call__(self, imgs):
-        x = normalize_imagenet(imgs)
-        x0, x1, x2 = VGG11BN(outputs=('s4', 's8', 's16'), name='backbone')(x)
+        # ImageNet normalization is folded into the backbone's first conv
+        x0, x1, x2 = VGG11BN(outputs=('s4', 's8', 's16'), name='backbone')(imgs)
         x0 = lax.stop_gradient(l2_normalize(x0, -1))
         x1 = lax.stop_gradient(l2_normalize(x1, -1))
         x2 = lax.stop_gradient(l2_normalize(x2, -1))

@@ -20,7 +20,6 @@ from jax import lax
 from gen6d_tpu.models.attention import AttentionBlock
 from gen6d_tpu.models.layers import instance_norm, l2_normalize
 from gen6d_tpu.models.vgg import VGG11BN
-from gen6d_tpu.ops.image import normalize_imagenet
 
 
 class Conv3dViewwise(nn.Module):
@@ -137,8 +136,8 @@ class ViewpointSelector(nn.Module):
     def get_feats(self, imgs):
         """imgs (n,h,w,3) [0,1] -> 3 L2-normalized frozen pyramid feats
         (selector.py:113-119)."""
-        x = normalize_imagenet(imgs)
-        feats = self.backbone(x)
+        # ImageNet normalization is folded into the backbone's first conv
+        feats = self.backbone(imgs)
         return tuple(lax.stop_gradient(l2_normalize(f, axis=-1)) for f in feats)
 
     def encode_viewpoints(self, ref_poses, object_center, object_vert,

@@ -1,0 +1,301 @@
+"""Gen6DEstimator: the detect -> crop -> select -> solve -> refine pipeline.
+
+Preserves the reference API (estimator.py:94-216): ``build(database,
+split_type)`` then ``predict(que_img, que_K, pose_init=None) -> (pose,
+inter_results)`` — but every stage is a jitted XLA program and the data stays
+on device between stages:
+
+- build: FPS view selection (host) + one jitted program for reference
+  normalization, in-plane rotated copies, and backbone feature caching
+  (replaces the per-view cv2.warpPerspective loops, estimator.py:150-164);
+- predict: jitted detect / crop+select / pose-init stages; the refinement loop
+  re-selects & re-warps reference views ON DEVICE from a pre-staged image stack
+  (the reference re-reads and re-warps from disk every iteration,
+  refiner.py:300-313).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gen6d_tpu.data import database as dbm
+from gen6d_tpu.data import ref_prep as rp
+from gen6d_tpu.geometry import transform2d as t2d
+from gen6d_tpu.geometry.camera import (let_me_look_at, project_points,
+                                       view_correlation)
+from gen6d_tpu.geometry.fps import sample_fps_points
+from gen6d_tpu.geometry.pose import (camera_position, normalize_pose,
+                                     denormalize_pose, pose_compose,
+                                     pose_inverse)
+from gen6d_tpu.geometry.solvers import (
+    compose_sim_pose, estimate_pose_from_similarity_transform_compose,
+    pose_sim_to_pose_rigid)
+from gen6d_tpu.models.detector import Detector, parse_detection
+from gen6d_tpu.models.refiner import VolumeRefiner
+from gen6d_tpu.models.selector import ViewpointSelector
+from gen6d_tpu.ops.warp import warp_affine, warp_perspective
+from gen6d_tpu.data.ref_prep import (look_at_crop_transform,
+                                     normalize_reference_views_device)
+
+SELECTOR_ANGLES = (-np.pi / 2, -np.pi / 4, 0.0, np.pi / 4, np.pi / 2)  # estimator.py:152
+
+
+class Gen6DEstimator:
+    default_cfg = {
+        'ref_resolution': 128,
+        'ref_view_num': 64,
+        'det_ref_view_num': 32,
+        'refine_iter': 3,
+        'refine_ref_num': 6,
+        'refine_even_num': 128,
+        'refine_size': 128,
+        'refine_margin': 0.05,
+    }
+
+    def __init__(self, cfg=None, detector=None, selector=None, refiner=None):
+        """detector/selector/refiner: (flax module, params) tuples; refiner may
+        be None (detection+selection only, as when cfg['refiner'] is None in
+        the reference, estimator.py:112-115)."""
+        self.cfg = {**self.default_cfg, **(cfg or {})}
+        self.detector, self.detector_params = detector
+        self.selector, self.selector_params = selector
+        if refiner is not None:
+            self.refiner, self.refiner_params = refiner
+        else:
+            self.refiner = self.refiner_params = None
+        self.ref_info = {}
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------ build
+    def build(self, database: dbm.BaseDatabase, split_type: str):
+        """Prepare reference data on device (estimator.py:139-171)."""
+        cfg = self.cfg
+        object_center = np.asarray(dbm.get_object_center(database), np.float32)
+        object_vert = np.asarray(dbm.get_object_vert(database), np.float32)
+        diameter = float(dbm.get_diameter(database))
+        ref_ids_all, _ = dbm.get_database_split(database, split_type)
+
+        ref_ids = rp.select_reference_img_ids_fps(database, ref_ids_all,
+                                                 cfg['ref_view_num'])
+        raw_imgs, raw_masks, raw_poses, raw_Ks = rp.gather_images(database, ref_ids)
+
+        size = cfg['ref_resolution']
+
+        @jax.jit
+        def build_refs(imgs, masks, poses, Ks):
+            # normalized (vert-rectified) crops for the detector + ref_info
+            crops, crop_masks, K_new, pose_new, Hs = normalize_reference_views_device(
+                imgs, masks, poses, Ks, jnp.asarray(object_center), diameter,
+                size, 0.05, object_vert=jnp.asarray(object_vert))
+            # in-plane rotated copies for the selector (estimator.py:150-164):
+            # H_rot(angle) = center-rotation affine composed onto each crop H
+            def rot_H(angle):
+                M = t2d.offset_2d(-size / 2.0, -size / 2.0)
+                M = t2d.compose_2d(M, t2d.rotation_2d(angle))
+                M = t2d.compose_2d(M, t2d.offset_2d(size / 2.0, size / 2.0))
+                return jnp.concatenate([M, jnp.asarray([[0.0, 0.0, 1.0]])], 0)
+
+            rots = []
+            for angle in SELECTOR_ANGLES:
+                Hr = rot_H(angle)
+                warped = jax.vmap(
+                    lambda im, h: warp_perspective(im, Hr @ h, (size, size))
+                )(imgs, Hs)
+                rots.append(warped)
+            ref_imgs_rots = jnp.stack(rots, 0)  # an,rfn,size,size,3
+            return crops, crop_masks, K_new, pose_new, Hs, ref_imgs_rots
+
+        crops, crop_masks, K_new, pose_new, Hs, ref_imgs_rots = build_refs(
+            jnp.asarray(raw_imgs), jnp.asarray(raw_masks),
+            jnp.asarray(raw_poses), jnp.asarray(raw_Ks))
+
+        # detector / selector feature caches (one jitted call each)
+        det_ref_feats = jax.jit(
+            lambda p, x: self.detector.apply(p, x, method='load_ref'))(
+                self.detector_params, crops[:cfg['det_ref_view_num']])
+        sel_cache = jax.jit(
+            lambda p, a, b, c, d: self.selector.apply(p, a, b, c, d,
+                                                      method='load_ref'))(
+            self.selector_params, ref_imgs_rots, pose_new,
+            jnp.asarray(object_center), jnp.asarray(object_vert))
+
+        self.ref_info = {
+            'imgs': crops, 'ref_imgs': ref_imgs_rots, 'masks': crop_masks,
+            'Ks': K_new, 'poses': pose_new, 'center': jnp.asarray(object_center),
+            'det_ref_feats': det_ref_feats,
+            'sel_feats': sel_cache[0], 'sel_pose_embed': sel_cache[1],
+        }
+
+        # refiner staging: even-FPS subset of ALL reference views, raw images
+        # on device, poses pre-normalized to the unit-sphere object frame
+        # (refiner.py:275-313 semantics without the per-iteration disk reads)
+        if self.refiner is not None:
+            norm_scale = 2.0 / diameter
+            norm_offset = (-norm_scale * object_center).astype(np.float32)
+            all_poses = np.stack([database.get_pose(i) for i in ref_ids_all], 0)
+            cams = -np.einsum('nji,nj->ni', all_poses[:, :, :3], all_poses[:, :, 3])
+            n_even = min(self.cfg['refine_even_num'], len(ref_ids_all))
+            idx = sample_fps_points(cams, n_even + 1, True, index_model=True)
+            even_ids = np.asarray(ref_ids_all)[idx]
+            imgs_e, _, poses_e, Ks_e = rp.gather_images(database, even_ids,
+                                                        with_masks=False)
+            poses_e = np.asarray(jax.vmap(normalize_pose, in_axes=(0, None, None))(
+                jnp.asarray(poses_e), norm_scale, jnp.asarray(norm_offset)))
+            self.ref_info.update({
+                'refine_imgs': jnp.asarray(imgs_e),
+                'refine_poses': jnp.asarray(poses_e),
+                'refine_Ks': jnp.asarray(Ks_e),
+                'norm_scale': norm_scale,
+                'norm_offset': jnp.asarray(norm_offset),
+            })
+
+    # ---------------------------------------------------------------- stages
+    def _detect_fn(self):
+        det = self.detector
+
+        @jax.jit
+        def run(params, que_imgs, ref_feats):
+            out = det.apply(params, que_imgs, ref_feats, method='detect')
+            pos, scale = parse_detection(out['scores'], out['select_pr_scale'],
+                                         out['select_pr_offset'])
+            return pos, scale
+        return run
+
+    def _select_fn(self):
+        sel = self.selector
+        size = self.cfg['ref_resolution']
+
+        @jax.jit
+        def run(params, que_img, que_K_dummy, position, scale_r2q, sel_feats,
+                sel_embed):
+            # crop the query around the detection (estimator.py:184): device
+            # warp_affine replaces cv2 transformation_crop
+            M = t2d.crop_transform_2d(position, 1.0 / scale_r2q, 0.0, size)
+            crop = warp_affine(que_img, M, (size, size))
+            logits, angles = sel.apply(params, crop[None], sel_feats, sel_embed,
+                                       method='select')
+            ref_idx = jnp.argmax(logits, 1)[0]
+            angle = angles[0, ref_idx]
+            return crop, ref_idx, angle, logits[0]
+        return run
+
+    def _pose_init_fn(self):
+        @jax.jit
+        def run(position, scale_r2q, angle_r2q, ref_poses, ref_Ks, que_K,
+                center, ref_idx):
+            ref_pose = ref_poses[ref_idx]
+            ref_K = ref_Ks[ref_idx]
+            return estimate_pose_from_similarity_transform_compose(
+                position, scale_r2q, angle_r2q, ref_pose, ref_K, que_K, center)
+        return run
+
+    def _refine_fn(self):
+        refiner = self.refiner
+        size = self.cfg['refine_size']
+        margin = self.cfg['refine_margin']
+        ref_num = self.cfg['refine_ref_num']
+
+        @jax.jit
+        def run(params, que_img, que_K, pose_in_raw, ref_imgs, ref_poses,
+                ref_Ks, norm_scale, norm_offset):
+            """One refinement iteration, fully on device
+            (refiner.py:275-341 semantics)."""
+            center = jnp.zeros(3)
+            diameter = 2.0
+            in_pose = normalize_pose(pose_in_raw, norm_scale, norm_offset)
+
+            # warp query to look at the object w.r.t. the input pose
+            _, new_f = let_me_look_at(in_pose, que_K, center)
+            in_dist = jnp.linalg.norm(camera_position(in_pose) - center)
+            in_f = size * (1 - margin) / diameter * in_dist
+            scale = in_f / new_f
+            position, _ = project_points(center[None], in_pose, que_K)
+            H, que_K_warp, in_pose_warp, que_pose_rect = look_at_crop_transform(
+                que_K, in_pose, position[0], 0.0, scale, size, size)
+            que_warp = warp_perspective(que_img, H, (size, size))
+
+            # select ref_num nearest reference views by view correlation
+            # (select_reference_img_ids_refinement, database_utils.py:125-139)
+            corr = view_correlation(in_pose_warp[None], ref_poses, center)[0]
+            _, top_idx = jax.lax.top_k(corr, ref_num)
+            sel_imgs = ref_imgs[top_idx]
+            sel_poses = ref_poses[top_idx]
+            sel_Ks = ref_Ks[top_idx]
+
+            # normalize + in-plane-align the selected refs w.r.t. input pose
+            ref_crops, _, ref_K_new, ref_pose_new, _ = normalize_reference_views_device(
+                sel_imgs, None, sel_poses, sel_Ks, center, diameter, size,
+                margin, input_pose=in_pose_warp, input_K=que_K_warp)
+
+            out = refiner.apply(params, que_warp[None], que_K_warp[None],
+                                in_pose_warp[None], ref_crops[None],
+                                ref_pose_new[None], ref_K_new[None])
+            quat = out['rotation'][0]
+            scale_pr = 2.0 ** out['scale'][0]
+            offset_pr = out['offset'][0]
+
+            pose_sim = compose_sim_pose(scale_pr, quat, offset_pr, in_pose_warp,
+                                        center)
+            pose_pr = pose_sim_to_pose_rigid(pose_sim, in_pose_warp, que_K_warp,
+                                             que_K_warp, center)
+            pose_pr = pose_compose(pose_pr, pose_inverse(que_pose_rect))
+            return denormalize_pose(pose_pr, norm_scale, norm_offset)
+        return run
+
+    def _get(self, name, maker):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = maker()
+        return self._jit_cache[name]
+
+    # --------------------------------------------------------------- predict
+    def predict(self, que_img, que_K, pose_init=None):
+        """que_img: (h,w,3) uint8 or float [0,1] with h,w % 32 == 0;
+        que_K: (3,3). Returns (pose (3,4) numpy, inter_results dict).
+        Mirrors estimator.py:173-216 incl. tracking mode (pose_init)."""
+        if que_img.dtype == np.uint8:
+            que_img = que_img.astype(np.float32) / 255.0
+        que_img = jnp.asarray(que_img)
+        que_K = jnp.asarray(que_K, jnp.float32)
+        inter_results = {}
+
+        if pose_init is None:
+            detect = self._get('detect', self._detect_fn)
+            position, scale_r2q = detect(self.detector_params, que_img[None],
+                                         self.ref_info['det_ref_feats'])
+            position, scale_r2q = position[0], scale_r2q[0]
+
+            select = self._get('select', self._select_fn)
+            crop, ref_idx, angle_r2q, scores = select(
+                self.selector_params, que_img, que_K, position, scale_r2q,
+                self.ref_info['sel_feats'], self.ref_info['sel_pose_embed'])
+
+            inter_results.update({
+                'det_position': np.asarray(position),
+                'det_scale_r2q': float(scale_r2q),
+                'det_que_img': np.asarray(crop),
+                'sel_angle_r2q': float(angle_r2q),
+                'sel_scores': np.asarray(scores),
+                'sel_ref_idx': int(ref_idx),
+            })
+
+            pose_init_fn = self._get('pose_init', self._pose_init_fn)
+            pose_pr = pose_init_fn(position, scale_r2q, angle_r2q,
+                                   self.ref_info['poses'], self.ref_info['Ks'],
+                                   que_K, self.ref_info['center'], ref_idx)
+        else:
+            pose_pr = jnp.asarray(pose_init, jnp.float32)
+
+        if self.refiner is not None:
+            refine = self._get('refine', self._refine_fn)
+            refine_poses = [np.asarray(pose_pr)]
+            for _ in range(self.cfg['refine_iter']):
+                pose_pr = refine(self.refiner_params, que_img, que_K, pose_pr,
+                                 self.ref_info['refine_imgs'],
+                                 self.ref_info['refine_poses'],
+                                 self.ref_info['refine_Ks'],
+                                 self.ref_info['norm_scale'],
+                                 self.ref_info['norm_offset'])
+                refine_poses.append(np.asarray(pose_pr))
+            inter_results['refine_poses'] = refine_poses
+        return np.asarray(pose_pr), inter_results

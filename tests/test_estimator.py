@@ -1,0 +1,169 @@
+"""End-to-end estimator tests on the synthetic scene (CPU).
+
+Network weights are random (no pretrained checkpoints ship with this
+environment), so these tests validate the PIPELINE: reference build products,
+geometric pose-init accuracy with oracle detection/selection, the refine
+composition (identity prediction => identity refinement), and that full
+predict() executes with finite outputs and the reference's inter_results keys.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gen6d_tpu.data import database as D
+from gen6d_tpu.data.synthetic import SyntheticScene
+from gen6d_tpu.geometry.camera import project_points, view_correlation
+from gen6d_tpu.geometry.rotations import rotation_angle
+from gen6d_tpu.geometry.solvers import scale_rotation_difference_from_cameras
+from gen6d_tpu.models.detector import Detector
+from gen6d_tpu.models.refiner import VolumeRefiner
+from gen6d_tpu.models.selector import ViewpointSelector
+from gen6d_tpu.pipeline.estimator import Gen6DEstimator
+
+
+def small_db(n_views=24, hw=(256, 320), seed=0):
+    db = D.parse_database_name(f'synthetic/{n_views}')
+    db.scene = SyntheticScene(n_views=n_views, hw=hw, dist=3.0, f=300.0, seed=seed)
+    db.img_ids = [str(k) for k in range(n_views)]
+    return db
+
+
+@pytest.fixture(scope='module')
+def models():
+    key = jax.random.PRNGKey(0)
+    det = Detector()
+    det_params = det.init(key, jnp.zeros((2, 128, 128, 3)), jnp.zeros((1, 128, 128, 3)))
+    sel = ViewpointSelector()
+    poses = jnp.tile(jnp.eye(3, 4)[None], (3, 1, 1)).at[:, 2, 3].set(3.0)
+    sel_params = sel.init(key, jnp.zeros((5, 3, 128, 128, 3)), poses,
+                          jnp.zeros(3), jnp.asarray([0.0, 0, 1]),
+                          jnp.zeros((1, 128, 128, 3)))
+    refi = VolumeRefiner()
+    K = jnp.asarray([[300.0, 0, 64], [0, 300, 64], [0, 0, 1]])[None]
+    pose1 = jnp.eye(3, 4)[None].at[:, 2, 3].set(3.0)
+    ref_params = refi.init(key, jnp.zeros((1, 128, 128, 3)), K, pose1,
+                           jnp.zeros((1, 2, 128, 128, 3)),
+                           jnp.tile(pose1[:, None], (1, 2, 1, 1)),
+                           jnp.tile(K[:, None], (1, 2, 1, 1)))
+    return (det, det_params), (sel, sel_params), (refi, ref_params)
+
+
+@pytest.fixture(scope='module')
+def built_estimator(models):
+    det, sel, refi = models
+    est = Gen6DEstimator({'ref_view_num': 8, 'det_ref_view_num': 4,
+                          'refine_even_num': 16, 'refine_iter': 1},
+                         detector=det, selector=sel, refiner=refi)
+    db = small_db()
+    est.build(db, 'all')
+    return est, db
+
+
+class TestBuild:
+    def test_ref_info_shapes(self, built_estimator):
+        est, db = built_estimator
+        ri = est.ref_info
+        assert ri['imgs'].shape == (8, 128, 128, 3)
+        assert ri['ref_imgs'].shape == (5, 8, 128, 128, 3)
+        assert ri['poses'].shape == (8, 3, 4)
+        assert ri['refine_imgs'].shape[0] == 16
+        assert len(ri['det_ref_feats']) == 3
+        assert ri['sel_pose_embed'].shape == (8, 512)
+
+    def test_rotated_copies_are_rotations(self, built_estimator):
+        """angle index 2 is 0 rad -> identical to the plain crop."""
+        est, _ = built_estimator
+        base = np.array(est.ref_info['imgs'])
+        rot0 = np.array(est.ref_info['ref_imgs'][2])
+        np.testing.assert_allclose(rot0, base, atol=1e-4)
+        # +-90 degree copies differ
+        assert np.abs(np.array(est.ref_info['ref_imgs'][0]) - base).mean() > 1e-3
+
+
+class TestPoseInit:
+    def test_oracle_detection_selection(self, built_estimator):
+        """With GT position/scale/angle/ref_idx the composed pose-init must be
+        close to GT (limited only by ref-view quantization)."""
+        est, db = built_estimator
+        scene = db.scene
+        que_pose = scene.poses[3]
+        que_K = scene.K
+        center = jnp.zeros(3)
+
+        ref_poses = est.ref_info['poses']
+        ref_Ks = est.ref_info['Ks']
+        corr = view_correlation(jnp.asarray(que_pose)[None], ref_poses, center)
+        ref_idx = int(jnp.argmax(corr[0]))
+
+        scale, angle = scale_rotation_difference_from_cameras(
+            ref_poses[ref_idx][None], jnp.asarray(que_pose)[None],
+            ref_Ks[ref_idx][None], jnp.asarray(que_K)[None], center)
+        pos, _ = project_points(center[None], jnp.asarray(que_pose),
+                                jnp.asarray(que_K))
+
+        fn = est._get('pose_init', est._pose_init_fn)
+        pose_pr = np.array(fn(pos[0], scale[0], angle[0], ref_poses, ref_Ks,
+                              jnp.asarray(que_K), center, ref_idx))
+        ang_err = float(rotation_angle(jnp.asarray(pose_pr[:, :3] @ que_pose[:, :3].T)))
+        # ref view direction differs from the query view; error bounded by it
+        cosv = float(corr[0, ref_idx])
+        assert ang_err <= np.arccos(np.clip(cosv, -1, 1)) + 0.06
+        cam_err = np.linalg.norm(
+            (-pose_pr[:, :3].T @ pose_pr[:, 3]) - (-que_pose[:, :3].T @ que_pose[:, 3]))
+        assert cam_err < 0.4
+
+
+class MockRefiner:
+    """Refiner stand-in predicting the identity similarity transform."""
+
+    def apply(self, params, que_imgs, que_Ks, que_poses, ref_imgs, ref_poses,
+              ref_Ks):
+        qn = que_imgs.shape[0]
+        return {'rotation': jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (qn, 1)),
+                'offset': jnp.zeros((qn, 2)),
+                'scale': jnp.zeros((qn, 1))}
+
+
+class TestRefineComposition:
+    def test_identity_prediction_preserves_pose(self, models):
+        """refine step geometry: identity network prediction must return the
+        input pose exactly (warp -> compose -> unwarp round trip)."""
+        det, sel, _ = models
+        est = Gen6DEstimator({'ref_view_num': 8, 'det_ref_view_num': 4,
+                              'refine_even_num': 12, 'refine_iter': 1},
+                             detector=det, selector=sel,
+                             refiner=(MockRefiner(), {}))
+        db = small_db()
+        est.build(db, 'all')
+        pose_in = db.scene.poses[5]
+        refine = est._get('refine', est._refine_fn)
+        out = np.array(refine({}, jnp.asarray(db.scene.render(5)[0], jnp.float32) / 255.0,
+                              jnp.asarray(db.scene.K), jnp.asarray(pose_in),
+                              est.ref_info['refine_imgs'],
+                              est.ref_info['refine_poses'],
+                              est.ref_info['refine_Ks'],
+                              est.ref_info['norm_scale'],
+                              est.ref_info['norm_offset']))
+        ang = float(rotation_angle(jnp.asarray(out[:, :3] @ pose_in[:, :3].T)))
+        assert ang < 1e-3
+        np.testing.assert_allclose(out[:, 3], pose_in[:, 3], atol=1e-3)
+
+
+class TestPredict:
+    def test_full_predict_runs(self, built_estimator):
+        est, db = built_estimator
+        img, _ = db.scene.render(1)
+        pose, inter = est.predict(img, db.scene.K)
+        assert pose.shape == (3, 4) and np.all(np.isfinite(pose))
+        for k in ('det_position', 'det_scale_r2q', 'det_que_img',
+                  'sel_angle_r2q', 'sel_scores', 'sel_ref_idx', 'refine_poses'):
+            assert k in inter, k
+
+    def test_tracking_mode(self, built_estimator):
+        """pose_init given -> detection/selection skipped (estimator.py:206-215)."""
+        est, db = built_estimator
+        img, _ = db.scene.render(2)
+        pose, inter = est.predict(img, db.scene.K, pose_init=db.scene.poses[2])
+        assert 'det_position' not in inter
+        assert np.all(np.isfinite(pose))

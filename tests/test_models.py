@@ -51,9 +51,12 @@ class TestVGG:
 
         img = rng.rand(2, 64, 64, 3).astype(np.float32)
         model = VGG11BN(outputs=('s4', 's8', 's16', 's32'))
+        # converter folds ImageNet normalization into stage0; feed raw [0,1]
         outs = model.apply(params, jnp.asarray(img))
 
-        x = torch.from_numpy(img.transpose(0, 3, 1, 2))
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        x = torch.from_numpy(((img - mean) / std).transpose(0, 3, 1, 2).astype(np.float32))
         with torch.no_grad():
             h = t[0:14](x)       # -> stride 4
             t4 = h
