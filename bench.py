@@ -25,16 +25,19 @@ def main():
     from gen6d_tpu.models.selector import ViewpointSelector
     from gen6d_tpu.pipeline.estimator import Gen6DEstimator
 
+    import os
+    dtype = jnp.bfloat16 if os.environ.get('GEN6D_BENCH_DTYPE', 'bf16') == 'bf16' \
+        else None
     key = jax.random.PRNGKey(0)
-    det = Detector()
+    det = Detector(dtype=dtype)
     det_params = jax.jit(det.init)(key, jnp.zeros((2, 128, 128, 3)),
                                    jnp.zeros((1, 128, 128, 3)))
-    sel = ViewpointSelector()
+    sel = ViewpointSelector(dtype=dtype)
     poses0 = jnp.tile(jnp.eye(3, 4)[None], (3, 1, 1)).at[:, 2, 3].set(3.0)
     sel_params = jax.jit(sel.init)(key, jnp.zeros((5, 3, 128, 128, 3)), poses0,
                                    jnp.zeros(3), jnp.asarray([0.0, 0, 1]),
                                    jnp.zeros((1, 128, 128, 3)))
-    refi = VolumeRefiner()
+    refi = VolumeRefiner(dtype=dtype)
     K0 = jnp.asarray([[300.0, 0, 64], [0, 300, 64], [0, 0, 1]])[None]
     p0 = jnp.eye(3, 4)[None].at[:, 2, 3].set(3.0)
     ref_params = jax.jit(refi.init)(key, jnp.zeros((1, 128, 128, 3)), K0, p0,
@@ -51,27 +54,42 @@ def main():
     est.build(db, 'all')
     build_s = time.time() - t0
 
-    que_ids = db.get_img_ids()[::8]
-    imgs = [db.get_image(i) for i in que_ids]
+    que_ids = db.get_img_ids()[::4]
+    imgs = np.stack([db.get_image(i) for i in que_ids], 0)
     K = db.get_K('0')
+    Ks = np.stack([K] * len(imgs), 0)
+    batch = 8
+    n_batches = len(imgs) // batch
 
-    # warmup (compiles every stage)
+    # warmup: compiles the fused batched program + the single-query path
+    est.predict_batch(imgs[:batch], Ks[:batch])
     pose, _ = est.predict(imgs[0], K)
-    n = len(imgs)
+
+    # single-query latency (p50)
+    lat = []
+    for i in range(6):
+        t0 = time.time()
+        est.predict_batch(imgs[i:i + 1], Ks[i:i + 1])
+        lat.append(time.time() - t0)
+    p50_ms = 1e3 * float(np.median(lat))
+
+    # batched throughput
     t0 = time.time()
-    for img in imgs:
-        pose, _ = est.predict(img, K)
+    for b in range(n_batches):
+        poses = est.predict_batch(imgs[b * batch:(b + 1) * batch],
+                                  Ks[b * batch:(b + 1) * batch])
     dt = time.time() - t0
+    n = n_batches * batch
     pps = n / dt
 
     print(json.dumps({
         'metric': 'poses/sec/chip end-to-end (synthetic 480x640, 64 refs, '
-                  'detect+select+refine x3)',
+                  'fused detect+select+refine x3, batch=8, bf16)',
         'value': round(pps, 3),
         'unit': 'poses/s',
         'vs_baseline': round(pps / 30.0, 3),
         'detail': {'n_queries': n, 'build_s': round(build_s, 2),
-                   'p50_latency_ms': round(1e3 * dt / n, 1)},
+                   'p50_latency_ms': round(p50_ms, 1)},
     }))
 
 

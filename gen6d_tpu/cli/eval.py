@@ -1,0 +1,112 @@
+"""Per-object evaluation CLI (port of reference eval.py:87-164): build the
+estimator, predict every query (batched on TPU), save poses + visualizations,
+compute ADD-0.1d / Prj-5, append a performance log line."""
+import argparse
+import os
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+
+from gen6d_tpu.data import database as dbm
+from gen6d_tpu.geometry.metrics import compute_metrics
+from gen6d_tpu.pipeline.loader import load_estimator
+from gen6d_tpu.utils.draw import draw_pose_bbox
+
+
+def save_image(path, img):
+    from PIL import Image
+    Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(path)
+
+
+def evaluate(cfg_path, object_name, split_type=None, symmetric=False,
+             batch=8, vis_interval=0, output_root='data/eval', max_queries=None):
+    estimator = load_estimator(cfg_path)
+    if '/' in object_name:
+        que_database_name = ref_database_name = object_name
+        if object_name.startswith('linemod'):
+            split_type = split_type or 'linemod_test'
+        elif object_name.startswith('genmop'):
+            # GenMOP evaluates the test sequence against the ref sequence
+            ref_database_name = object_name + '-ref'
+            que_database_name = object_name + '-test'
+            split_type = split_type or 'all'
+        elif object_name.startswith('synthetic'):
+            split_type = split_type or 'synthetic_split'
+    ref_database = dbm.parse_database_name(ref_database_name)
+    que_database = dbm.parse_database_name(que_database_name)
+    ref_split = 'all' if split_type != 'linemod_test' else split_type
+    _, que_ids = dbm.get_database_split(que_database, split_type)
+    if max_queries:
+        que_ids = que_ids[:max_queries]
+
+    t0 = time.time()
+    estimator.build(ref_database, split_type=ref_split)
+    build_s = time.time() - t0
+
+    object_pts = dbm.get_ref_point_cloud(ref_database)
+    diameter = dbm.get_diameter(ref_database)
+
+    pose_gt_list = [que_database.get_pose(i) for i in que_ids]
+    Ks = [que_database.get_K(i) for i in que_ids]
+    imgs = [que_database.get_image(i) for i in que_ids]
+
+    out_dir = Path(output_root) / object_name.replace('/', '_')
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    pose_pr_list = []
+    t0 = time.time()
+    for b0 in range(0, len(que_ids), batch):
+        chunk = imgs[b0:b0 + batch]
+        Kc = np.stack(Ks[b0:b0 + batch], 0)
+        # pad the last chunk to the compiled batch size
+        pad = batch - len(chunk)
+        imgs_b = np.stack(chunk + [chunk[-1]] * pad, 0)
+        Kb = np.concatenate([Kc, np.tile(Kc[-1:], (pad, 1, 1))], 0)
+        poses = estimator.predict_batch(imgs_b, Kb)
+        pose_pr_list.extend(list(poses[:len(chunk)]))
+    predict_s = time.time() - t0
+
+    if vis_interval:
+        for qi in range(0, len(que_ids), vis_interval):
+            vis = draw_pose_bbox(imgs[qi], pose_gt_list[qi], Ks[qi], object_pts,
+                                 (0, 255, 0))
+            vis = draw_pose_bbox(vis, pose_pr_list[qi], Ks[qi], object_pts,
+                                 (0, 0, 255))
+            save_image(out_dir / f'{que_ids[qi]}-bbox.jpg', vis)
+
+    with open(out_dir / 'poses.pkl', 'wb') as f:
+        pickle.dump({'que_ids': que_ids, 'poses_pr': pose_pr_list}, f)
+
+    results = compute_metrics(object_pts, diameter, np.stack(pose_gt_list),
+                              np.stack(pose_pr_list), np.stack(Ks),
+                              symmetric=symmetric)
+    results['poses_per_sec'] = round(len(que_ids) / predict_s, 2)
+    results['build_s'] = round(build_s, 1)
+    msg = f'{object_name} ' + ' '.join(f'{k}={v:.4f}' if isinstance(v, float)
+                                       else f'{k}={v}'
+                                       for k, v in results.items())
+    print(msg)
+    os.makedirs('data', exist_ok=True)
+    with open('data/performance.log', 'a') as f:
+        f.write(msg + '\n')
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg', type=str, default='configs/gen6d_synthetic.yaml')
+    parser.add_argument('--object_name', type=str, default='synthetic/64')
+    parser.add_argument('--split_type', type=str, default=None)
+    parser.add_argument('--symmetric', action='store_true', default=False)
+    parser.add_argument('--batch', type=int, default=8)
+    parser.add_argument('--vis_interval', type=int, default=0)
+    parser.add_argument('--max_queries', type=int, default=None)
+    args = parser.parse_args()
+    evaluate(args.cfg, args.object_name, args.split_type, args.symmetric,
+             args.batch, args.vis_interval, max_queries=args.max_queries)
+
+
+if __name__ == '__main__':
+    main()

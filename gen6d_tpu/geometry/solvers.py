@@ -10,9 +10,11 @@ import jax.numpy as jnp
 from gen6d_tpu.geometry import transform2d as t2d
 from gen6d_tpu.geometry.camera import (project_points, let_me_look_at,
                                        pts_to_hpts, look_at_rotation)
-from gen6d_tpu.geometry.pose import pose_apply, pose_inverse
+from gen6d_tpu.geometry.pose import (pose_apply, pose_inverse,
+                                     pose_compose as pose_compose_g)
 from gen6d_tpu.geometry.rotations import (angle_to_rotation_2d, quat_to_mat,
-                                          inplane_angle_szyx, rot_z)
+                                          mat_to_quat, inplane_angle_szyx,
+                                          rot_z)
 from gen6d_tpu.utils.precision import f32
 
 
@@ -126,6 +128,36 @@ def pose_sim_to_pose_rigid(pose_sim_in_to_que, pose_in, K_que, K_in, center):
     rotation = R @ pose_in[:3, :3]
     offset = center_que - rotation @ center
     return jnp.concatenate([rotation, offset[:, None]], 1)
+
+
+@f32
+def approximate_rigid_to_similarity(pose_src, pose_tgt, K_src, K_tgt, center):
+    """Approximate the rigid pose change src->tgt as a camera-space similarity
+    transform (the refiner's GT; matches approximate_rigid_to_similarity,
+    dataset/train_dataset.py:1185-1208)."""
+    f_tgt = (K_tgt[0, 0] + K_tgt[1, 1]) / 2
+    f_src = (K_src[0, 0] + K_src[1, 1]) / 2
+    cen_src = pose_apply(pose_src, center)
+    cen_tgt = pose_apply(pose_tgt, center)
+
+    scale = cen_src[2] / cen_tgt[2] * f_tgt / f_src
+    offset = (cen_tgt - cen_src).at[2].set(0.0) * scale  # 2D offset only
+    rot = pose_compose_g(pose_inverse(pose_src), pose_tgt)[:3, :3]
+    offset = offset + cen_src - scale * (rot @ cen_src[:, None])[:, 0]
+    return jnp.concatenate([scale * rot, offset[:, None]], 1)
+
+
+@f32
+def decompose_similarity(pose_in, pose_sim, object_center):
+    """(scale, quaternion, 3D offset) of a camera-space similarity transform
+    (matches decomposed_transformations, train_dataset.py:1211-1218)."""
+    cen0 = pose_apply(pose_in, object_center)
+    cen1 = pose_apply(pose_sim, cen0)
+    offset = cen1 - cen0
+    U, S, Vt = jnp.linalg.svd(pose_sim[:, :3])
+    rotation = mat_to_quat(U @ Vt)
+    scale = jnp.mean(jnp.abs(S))
+    return scale, rotation, offset
 
 
 @f32

@@ -43,14 +43,17 @@ def _round_up_32(v):
 class ConvHead(nn.Module):
     """3x 3x3-conv head (detector.py:164-184)."""
     out_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (3, 3), padding=1, name='conv0')(x)
+        x = nn.Conv(64, (3, 3), padding=1, name='conv0', dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(64, (3, 3), padding=1, name='conv1')(x)
+        x = nn.Conv(64, (3, 3), padding=1, name='conv1', dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Conv(self.out_dim, (3, 3), padding=1, name='conv2')(x)
+        # final head in f32 (decoded to pixel offsets/log scales)
+        return nn.Conv(self.out_dim, (3, 3), padding=1, name='conv2')(
+            x.astype(jnp.float32))
 
 
 def correlate(que_feats, ref_feats, padding):
@@ -78,16 +81,18 @@ def correlate(que_feats, ref_feats, padding):
         dy = k_idx // kw
         dx = k_idx % kw
         win = lax.dynamic_slice(que_pad, (0, dy, dx, 0), (qn, ho, wo, f))
-        acc = acc + jnp.einsum('nhwf,fr->nhwr', win, kmat)
+        acc = acc + jnp.einsum('nhwf,fr->nhwr', win, kmat,
+                               preferred_element_type=jnp.float32)
         return acc, None
 
-    init = jnp.zeros((qn, ho, wo, rfn), que_feats.dtype)
-    out, _ = lax.scan(step, init, (jnp.arange(kh * kw), kernel))
+    init = jnp.zeros((qn, ho, wo, rfn), jnp.float32)
+    out, _ = lax.scan(step, init, (jnp.arange(kh * kw), kernel), unroll=8)
     return out
 
 
 class Detector(nn.Module):
     cfg: Any = None
+    dtype: Any = None
 
     def _cfg(self, key):
         merged = dict(DEFAULT_DETECTOR_CFG)
@@ -96,13 +101,14 @@ class Detector(nn.Module):
         return merged[key]
 
     def setup(self):
-        self.backbone = VGG11BN(outputs=('s8', 's16', 's32'))
+        self.backbone = VGG11BN(outputs=('s8', 's16', 's32'),
+                                dtype=self.dtype)
         # Conv3d 1x1x1 fusion == Dense over the scale*level channel axis
-        self.score_conv0 = nn.Dense(64)
-        self.score_conv1 = nn.Dense(64)
-        self.score_predict = ConvHead(1)
-        self.scale_predict = ConvHead(1)
-        self.offset_predict = ConvHead(2)
+        self.score_conv0 = nn.Dense(64, dtype=self.dtype)
+        self.score_conv1 = nn.Dense(64, dtype=self.dtype)
+        self.score_predict = ConvHead(1, dtype=self.dtype)
+        self.scale_predict = ConvHead(1, dtype=self.dtype)
+        self.offset_predict = ConvHead(2, dtype=self.dtype)
 
     def extract_feats(self, imgs):
         """imgs: (n,h,w,3) in [0,1] -> (s8, s16, s32) feats (frozen backbone)."""
@@ -131,7 +137,7 @@ class Detector(nn.Module):
         smax = self._cfg('vgg_score_max')
         out = []
         for s, (mu, sd) in zip((s0, s1, s2), stats):
-            out.append(jnp.clip((s - mu) / sd, -smax, smax))
+            out.append(jnp.clip((s.astype(jnp.float32) - mu) / sd, -smax, smax))
         return jnp.stack(out, -1)  # qn, h/8, w/8, rfn, 3
 
     def detect(self, que_imgs, ref_feats):

@@ -15,7 +15,8 @@ class FrozenBatchNorm(nn.Module):
     """Eval-mode BatchNorm over the channel (last) axis.
 
     All four tensors live in 'params' so checkpoint conversion is a plain tree
-    map; training code masks them out of the optimizer.
+    map; training code masks them out of the optimizer. The affine folding is
+    computed in f32; the elementwise apply follows the input dtype (bf16-safe).
     """
     features: int
     eps: float = 1e-5
@@ -27,21 +28,24 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param('mean', nn.initializers.zeros, (self.features,))
         var = self.param('var', nn.initializers.ones, (self.features,))
         inv = scale / jnp.sqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
 
 
 def instance_norm(x, spatial_axes, eps=1e-5):
     """InstanceNorm (affine=False): normalize over ``spatial_axes`` per
-    (sample, channel), biased variance."""
-    mean = jnp.mean(x, axis=spatial_axes, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=spatial_axes, keepdims=True)
-    return (x - mean) / jnp.sqrt(var + eps)
+    (sample, channel), biased variance. Statistics in f32 regardless of input
+    dtype (bf16 mean/var are too coarse), output in the input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=spatial_axes, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=spatial_axes, keepdims=True)
+    return ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-    """torch F.normalize: x / max(||x||, eps)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    """torch F.normalize: x / max(||x||, eps). Norm in f32, output in the
+    input dtype."""
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
 
 
 def max_pool_2x2(x):
@@ -49,8 +53,9 @@ def max_pool_2x2(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
-def conv3x3(features, name=None):
-    return nn.Conv(features, (3, 3), padding=((1, 1), (1, 1)), name=name)
+def conv3x3(features, name=None, dtype=None):
+    return nn.Conv(features, (3, 3), padding=((1, 1), (1, 1)), name=name,
+                   dtype=dtype)
 
 
 def leaky_relu_01(x):

@@ -20,7 +20,7 @@ from jax import lax
 from gen6d_tpu.models.layers import instance_norm, l2_normalize, leaky_relu_01
 from gen6d_tpu.models.vgg import VGG11BN
 from gen6d_tpu.ops.image import resize_bilinear
-from gen6d_tpu.ops.sampling import sample_bilinear
+from gen6d_tpu.ops.sampling import sample_bilinear_dense
 
 
 def _in2d(x):
@@ -34,20 +34,24 @@ def _in3d(x):
 class RefineFeatureNet(nn.Module):
     """Frozen VGG (strides 4/8/16) + trainable fusion -> 128-ch feats at 1/4
     (refiner.py:16-78)."""
+    dtype: object = None
 
     @nn.compact
     def __call__(self, imgs):
         # ImageNet normalization is folded into the backbone's first conv
-        x0, x1, x2 = VGG11BN(outputs=('s4', 's8', 's16'), name='backbone')(imgs)
+        x0, x1, x2 = VGG11BN(outputs=('s4', 's8', 's16'), name='backbone',
+                             dtype=self.dtype)(imgs)
         x0 = lax.stop_gradient(l2_normalize(x0, -1))
         x1 = lax.stop_gradient(l2_normalize(x1, -1))
         x2 = lax.stop_gradient(l2_normalize(x2, -1))
 
         def block(x, mid, name):
-            x = nn.Conv(mid, (3, 3), padding=1, name=f'{name}_0')(x)
+            x = nn.Conv(mid, (3, 3), padding=1, name=f'{name}_0',
+                        dtype=self.dtype)(x)
             x = _in2d(x)
             x = nn.relu(x)
-            x = nn.Conv(64, (3, 3), padding=1, name=f'{name}_1')(x)
+            x = nn.Conv(64, (3, 3), padding=1, name=f'{name}_1',
+                        dtype=self.dtype)(x)
             return _in2d(x)
 
         y0 = block(x0, 64, 'conv0')
@@ -57,20 +61,24 @@ class RefineFeatureNet(nn.Module):
         y1 = resize_bilinear(y1, (h, w))
         y2 = resize_bilinear(y2, (h, w))
         y = jnp.concatenate([y0, y1, y2], -1)
-        y = nn.Conv(128, (3, 3), padding=1, name='conv_out_0')(y)
+        y = nn.Conv(128, (3, 3), padding=1, name='conv_out_0',
+                    dtype=self.dtype)(y)
         y = _in2d(y)
         y = nn.relu(y)
-        y = nn.Conv(128, (3, 3), padding=1, name='conv_out_1')(y)
+        y = nn.Conv(128, (3, 3), padding=1, name='conv_out_1',
+                    dtype=self.dtype)(y)
         return _in2d(y)
 
 
 class RefineVolumeEncodingNet(nn.Module):
     """3D CNN 32^3 -> 4^3 x 512 (refiner.py:80-143). Input NDHWC."""
+    dtype: object = None
 
     @nn.compact
     def __call__(self, mean, var):
         def conv3(f, s, name):
-            return nn.Conv(f, (3, 3, 3), strides=(s, s, s), padding=1, name=name)
+            return nn.Conv(f, (3, 3, 3), strides=(s, s, s), padding=1,
+                           name=name, dtype=self.dtype)
 
         m = conv3(64, 1, 'mean_embed_0')(mean)
         m = _in3d(m)
@@ -89,7 +97,7 @@ class RefineVolumeEncodingNet(nn.Module):
         x = nn.relu(_in3d(conv3(256, 1, 'conv4')(x)))       # 8
         x = nn.relu(_in3d(conv3(512, 2, 'conv5_0')(x)))
         x = conv3(512, 1, 'conv5_1')(x)                      # 4
-        return x
+        return x.astype(jnp.float32)
 
 
 class RefineRegressor(nn.Module):
@@ -115,19 +123,22 @@ def interpolate_volume_feats(feats, verts, proj):
     cam = verts @ proj[:, :3].T + proj[:, 3]
     depth = jnp.maximum(cam[:, 2:], 1e-4)
     xy = cam[:, :2] / depth
-    return sample_bilinear(feats, xy)
+    # dense MXU formulation: the 32x32 maps make gather-based sampling
+    # HBM-bound; see ops/sampling.py:sample_bilinear_dense
+    return sample_bilinear_dense(feats, xy, accum_dtype=feats.dtype)
 
 
 class VolumeRefiner(nn.Module):
     cfg: Any = None
+    dtype: Any = None
 
     @property
     def sample_num(self):
         return (self.cfg or {}).get('refiner_sample_num', 32)
 
     def setup(self):
-        self.feature_net = RefineFeatureNet()
-        self.volume_net = RefineVolumeEncodingNet()
+        self.feature_net = RefineFeatureNet(dtype=self.dtype)
+        self.volume_net = RefineVolumeEncodingNet(dtype=self.dtype)
         self.regressor = RefineRegressor()
 
     def __call__(self, que_imgs, que_Ks_in, que_poses_in, ref_imgs, ref_poses,
@@ -149,24 +160,34 @@ class VolumeRefiner(nn.Module):
         vol_coords = grid @ que_poses_in[:, :3, :3]  # qn,sn^3,3 (object frame)
 
         # reference-view features and volume sampling
-        h_r = ref_imgs.shape[2]
         ref_feats = self.feature_net(ref_imgs.reshape(qn * rfn, *ref_imgs.shape[2:]))
         ref_feats = ref_feats.reshape(qn, rfn, *ref_feats.shape[1:])
-        ref_proj = ref_Ks @ ref_poses  # qn,rfn,3,4
+        ref_proj = (ref_Ks @ ref_poses).astype(jnp.float32)  # qn,rfn,3,4
 
-        def sample_one(feats, proj, verts):
-            return interpolate_volume_feats(feats, verts, proj)
+        if jax.default_backend() != 'cpu':
+            # fused Pallas unproject-sample-reduce (ops/volume_pallas.py)
+            from gen6d_tpu.ops.volume_pallas import (volume_sample_meanstd,
+                                                     volume_sample_single)
+            mean, std = jax.vmap(volume_sample_meanstd)(ref_feats, ref_proj,
+                                                        vol_coords)
+            que_feats = self.feature_net(que_imgs)
+            que_proj = (que_Ks_in @ que_poses_in).astype(jnp.float32)
+            vol_feats_in = jax.vmap(volume_sample_single)(que_feats, que_proj,
+                                                          vol_coords)
+        else:
+            def sample_one(feats, proj, verts):
+                return interpolate_volume_feats(feats, verts, proj)
 
-        # vmap over refs then queries
-        vol_feats = jax.vmap(jax.vmap(sample_one, in_axes=(0, 0, None)),
-                             in_axes=(0, 0, 0))(ref_feats, ref_proj, vol_coords)
-        # (qn, rfn, sn^3, f)
-        mean = jnp.mean(vol_feats, 1)
-        std = jnp.std(vol_feats, 1, ddof=1)  # torch.std is unbiased (refiner.py:237)
+            vol_feats = jax.vmap(jax.vmap(sample_one, in_axes=(0, 0, None)),
+                                 in_axes=(0, 0, 0))(ref_feats, ref_proj,
+                                                    vol_coords)
+            vol_feats = vol_feats.astype(jnp.float32)
+            mean = jnp.mean(vol_feats, 1)
+            std = jnp.std(vol_feats, 1, ddof=1)  # unbiased (refiner.py:237)
 
-        que_feats = self.feature_net(que_imgs)
-        que_proj = que_Ks_in @ que_poses_in
-        vol_feats_in = jax.vmap(sample_one)(que_feats, que_proj, vol_coords)
+            que_feats = self.feature_net(que_imgs)
+            que_proj = que_Ks_in @ que_poses_in
+            vol_feats_in = jax.vmap(sample_one)(que_feats, que_proj, vol_coords)
 
         f = mean.shape[-1]
         mean_in = jnp.concatenate([mean, vol_feats_in], -1).reshape(qn, sn, sn, sn, 2 * f)

@@ -25,11 +25,13 @@ from gen6d_tpu.models.vgg import VGG11BN
 class Conv3dViewwise(nn.Module):
     """nn.Conv3d(in, out, (1,3,3), padding=(0,1,1)) on (qn, D, h, w, c)."""
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.features, (1, 3, 3),
-                       padding=((0, 0), (1, 1), (1, 1)), name='conv')(x)
+                       padding=((0, 0), (1, 1), (1, 1)), name='conv',
+                       dtype=self.dtype)(x)
 
 
 def _max_pool_hw(x):
@@ -43,78 +45,83 @@ def _in3d(x):
 
 
 class CorrConv0(nn.Module):
+    dtype: object = None
     """corr_conv for pyramid level 0 (selector.py:27-47): 512->64->64 /pool/
     ->128->128 /pool/ ->256->256, with instance norms."""
 
     @nn.compact
     def __call__(self, x):
         x = _in3d(x)
-        x = Conv3dViewwise(64, name='c0')(x)
+        x = Conv3dViewwise(64, name='c0', dtype=self.dtype)(x)
         x = _in3d(x)
         x = nn.relu(x)
-        x = Conv3dViewwise(64, name='c1')(x)
+        x = Conv3dViewwise(64, name='c1', dtype=self.dtype)(x)
         x = _in3d(x)
         x = _max_pool_hw(x)
-        x = Conv3dViewwise(128, name='c2')(x)
+        x = Conv3dViewwise(128, name='c2', dtype=self.dtype)(x)
         x = _in3d(x)
         x = nn.relu(x)
-        x = Conv3dViewwise(128, name='c3')(x)
+        x = Conv3dViewwise(128, name='c3', dtype=self.dtype)(x)
         x = _in3d(x)
         x = _max_pool_hw(x)
-        x = Conv3dViewwise(256, name='c4')(x)
+        x = Conv3dViewwise(256, name='c4', dtype=self.dtype)(x)
         x = _in3d(x)
         x = nn.relu(x)
-        x = Conv3dViewwise(256, name='c5')(x)
+        x = Conv3dViewwise(256, name='c5', dtype=self.dtype)(x)
         return x
 
 
 class CorrConv1(nn.Module):
+    dtype: object = None
     """corr_conv for level 1 (selector.py:48-61)."""
 
     @nn.compact
     def __call__(self, x):
         x = _in3d(x)
-        x = Conv3dViewwise(128, name='c0')(x)
+        x = Conv3dViewwise(128, name='c0', dtype=self.dtype)(x)
         x = _in3d(x)
         x = nn.relu(x)
-        x = Conv3dViewwise(128, name='c1')(x)
+        x = Conv3dViewwise(128, name='c1', dtype=self.dtype)(x)
         x = _in3d(x)
         x = _max_pool_hw(x)
-        x = Conv3dViewwise(256, name='c2')(x)
+        x = Conv3dViewwise(256, name='c2', dtype=self.dtype)(x)
         x = _in3d(x)
         x = nn.relu(x)
-        x = Conv3dViewwise(256, name='c3')(x)
+        x = Conv3dViewwise(256, name='c3', dtype=self.dtype)(x)
         return x
 
 
 class CorrConv2(nn.Module):
+    dtype: object = None
     """corr_conv for level 2 (selector.py:62-68)."""
 
     @nn.compact
     def __call__(self, x):
         x = _in3d(x)
-        x = Conv3dViewwise(256, name='c0')(x)
+        x = Conv3dViewwise(256, name='c0', dtype=self.dtype)(x)
         x = _in3d(x)
         x = nn.relu(x)
-        x = Conv3dViewwise(256, name='c1')(x)
+        x = Conv3dViewwise(256, name='c1', dtype=self.dtype)(x)
         return x
 
 
 class ViewpointSelector(nn.Module):
     cfg: Any = None
+    dtype: Any = None
 
     @property
     def angle_num(self):
         return (self.cfg or {}).get('selector_angle_num', 5)
 
     def setup(self):
-        self.backbone = VGG11BN(outputs=('s8', 's16', 's32'))
-        self.corr_conv0 = CorrConv0()
-        self.corr_conv1 = CorrConv1()
-        self.corr_conv2 = CorrConv2()
+        self.backbone = VGG11BN(outputs=('s8', 's16', 's32'),
+                                dtype=self.dtype)
+        self.corr_conv0 = CorrConv0(dtype=self.dtype)
+        self.corr_conv1 = CorrConv1(dtype=self.dtype)
+        self.corr_conv2 = CorrConv2(dtype=self.dtype)
         # corr_feats_conv (selector.py:71-77): Conv3d 1x1x1 == Dense; AvgPool(1,4,4)
-        self.corr_feats_conv0 = nn.Dense(512)
-        self.corr_feats_conv1 = nn.Dense(512)
+        self.corr_feats_conv0 = nn.Dense(512, dtype=self.dtype)
+        self.corr_feats_conv1 = nn.Dense(512, dtype=self.dtype)
         # score_process (selector.py:79-83): Conv2d 1x1 == Dense
         self.score_process0 = nn.Dense(512)
         self.score_process1 = nn.Dense(512)
@@ -194,8 +201,8 @@ class ViewpointSelector(nn.Module):
             h_, w_, f_ = out.shape[2], out.shape[3], out.shape[4]
             corr_feats.append(out.reshape(qn, rfn, an, h_, w_, f_))
 
-            # handcrafted score-map statistics (selector.py:192-195)
-            score_maps = jnp.sum(fc, -1)  # qn,rfn*an,h,w
+            # handcrafted score-map statistics (selector.py:192-195), f32
+            score_maps = jnp.sum(fc.astype(jnp.float32), -1)  # qn,rfn*an,h,w
             peak = jnp.max(score_maps.reshape(qn, rfn * an, h * w), -1)
             score_maps_ = score_maps / peak[..., None, None]
             score_vps = jnp.sum((score_maps * score_maps_).reshape(qn, rfn * an, -1), -1)
@@ -206,7 +213,7 @@ class ViewpointSelector(nn.Module):
         x = nn.relu(_in3d(self.corr_feats_conv0(
             corr_feats.reshape(qn, rfn * an, *corr_feats.shape[3:]))))
         x = self.corr_feats_conv1(x)
-        x = jnp.mean(x, axis=(2, 3))  # AvgPool3d (1,4,4) over the 4x4 maps
+        x = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # AvgPool3d (1,4,4)
         corr_feats = x.reshape(qn, rfn, an, 512)
 
         # vp_norm: InstanceNorm2d(3) over (rfn,an) per stat channel (selector.py:201)

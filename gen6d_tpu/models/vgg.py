@@ -75,6 +75,7 @@ class _ConvBN(nn.Module):
     features: int
     relu: bool = True
     mean_pad: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -83,9 +84,10 @@ class _ConvBN(nn.Module):
             # exactly zero-padding in the normalized domain, so the fold is
             # exact at the borders too
             x = _pad_with_mean(x)
-            x = nn.Conv(self.features, (3, 3), padding='VALID', name='conv')(x)
+            x = nn.Conv(self.features, (3, 3), padding='VALID', name='conv',
+                        dtype=self.dtype)(x)
         else:
-            x = conv3x3(self.features, name='conv')(x)
+            x = conv3x3(self.features, name='conv', dtype=self.dtype)(x)
         x = FrozenBatchNorm(self.features, name='bn')(x)
         if self.relu:
             x = nn.relu(x)
@@ -93,28 +95,34 @@ class _ConvBN(nn.Module):
 
 
 class VGG11BN(nn.Module):
-    """Pyramid VGG-11-BN; returns the stage outputs named by ``outputs``."""
+    """Pyramid VGG-11-BN; returns the stage outputs named by ``outputs``.
+
+    ``dtype``: computation dtype for the convolutions (bf16 for the TPU fast
+    path; params stay f32)."""
     outputs: Sequence[str] = ('s8', 's16', 's32')
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         feats = {}
-        x = _ConvBN(64, mean_pad=True, name='stage0_0')(x)
+        x = _ConvBN(64, mean_pad=True, name='stage0_0', dtype=self.dtype)(x)
         feats['s1'] = x
         x = max_pool_2x2(x)
-        x = _ConvBN(128, name='stage1_0')(x)
+        x = _ConvBN(128, name='stage1_0', dtype=self.dtype)(x)
         feats['s2'] = x
         x = max_pool_2x2(x)
-        x = _ConvBN(256, name='stage2_0')(x)
-        x = _ConvBN(256, name='stage2_1')(x)
+        x = _ConvBN(256, name='stage2_0', dtype=self.dtype)(x)
+        x = _ConvBN(256, name='stage2_1', dtype=self.dtype)(x)
         feats['s4'] = x
         x = max_pool_2x2(x)
-        x = _ConvBN(512, name='stage3_0')(x)
-        x = _ConvBN(512, name='stage3_1')(x)
+        x = _ConvBN(512, name='stage3_0', dtype=self.dtype)(x)
+        x = _ConvBN(512, name='stage3_1', dtype=self.dtype)(x)
         feats['s8'] = x
         x = max_pool_2x2(x)
-        x = _ConvBN(512, name='stage4_0')(x)
-        x = _ConvBN(512, relu=False, name='stage4_1')(x)  # split ends at bn
+        x = _ConvBN(512, name='stage4_0', dtype=self.dtype)(x)
+        x = _ConvBN(512, relu=False, name='stage4_1', dtype=self.dtype)(x)  # split ends at bn
         feats['s16'] = x
         feats['s32'] = max_pool_2x2(x)
         return tuple(feats[k] for k in self.outputs)

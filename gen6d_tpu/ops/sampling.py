@@ -45,6 +45,35 @@ def sample_bilinear(img, coords, fill_value=0.0):
     return top * (1 - wy) + bot * wy
 
 
+def sample_bilinear_dense(img, coords, accum_dtype=None):
+    """Bilinear sampling as two dense MXU contractions (no gathers).
+
+    img: (h, w, c); coords: (n, 2) as (x, y) -> (n, c). Equivalent to
+    sample_bilinear with fill_value=0: the separable hat weights
+    relu(1-|x - col|) x relu(1-|y - row|) reproduce bilinear interpolation,
+    including constant-zero borders (outside taps get zero weight).
+
+    Intended for SMALL feature maps (cost ~ n*h*w*c): the refiner samples 32^3
+    volume points from 32x32x128 maps, where HBM gather traffic dominates the
+    XLA gather formulation but the dense form is a pair of matmuls.
+    """
+    h, w = img.shape[0], img.shape[1]
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    rows = jnp.arange(h, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - cols[None]))  # n,w
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - rows[None]))  # n,h
+    if accum_dtype is not None:
+        wx = wx.astype(accum_dtype)
+        wy = wy.astype(accum_dtype)
+    # n,w @ (h,w,c) contracted in two steps; f32 accumulation on the MXU
+    tmp = jnp.einsum('nw,hwc->nhc', wx, img,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum('nh,nhc->nc', wy, tmp,
+                      preferred_element_type=jnp.float32)
+
+
 def grid_sample_feats(feats, coords):
     """torch.nn.functional.grid_sample(mode='bilinear', align_corners=False,
     padding_mode='zeros') equivalent on *pixel* coordinates.

@@ -190,58 +190,146 @@ class Gen6DEstimator:
                 position, scale_r2q, angle_r2q, ref_pose, ref_K, que_K, center)
         return run
 
-    def _refine_fn(self):
-        refiner = self.refiner
+    def _refine_prewarp(self, que_img, que_K, pose_in_raw, ref_imgs, ref_poses,
+                        ref_Ks, norm_scale, norm_offset):
+        """Single-query device geometry before the refiner network
+        (refiner.py:275-313): normalize pose, look-at warp the query, top-k
+        select + normalize reference views. vmapped by the batch path."""
         size = self.cfg['refine_size']
         margin = self.cfg['refine_margin']
         ref_num = self.cfg['refine_ref_num']
+        center = jnp.zeros(3)
+        diameter = 2.0
+        in_pose = normalize_pose(pose_in_raw, norm_scale, norm_offset)
 
+        _, new_f = let_me_look_at(in_pose, que_K, center)
+        in_dist = jnp.linalg.norm(camera_position(in_pose) - center)
+        in_f = size * (1 - margin) / diameter * in_dist
+        scale = in_f / new_f
+        position, _ = project_points(center[None], in_pose, que_K)
+        H, que_K_warp, in_pose_warp, que_pose_rect = look_at_crop_transform(
+            que_K, in_pose, position[0], 0.0, scale, size, size)
+        que_warp = warp_perspective(que_img, H, (size, size))
+
+        # select ref_num nearest reference views by view correlation
+        # (select_reference_img_ids_refinement, database_utils.py:125-139)
+        corr = view_correlation(in_pose_warp[None], ref_poses, center)[0]
+        _, top_idx = jax.lax.top_k(corr, ref_num)
+        sel_imgs = ref_imgs[top_idx]
+        sel_poses = ref_poses[top_idx]
+        sel_Ks = ref_Ks[top_idx]
+
+        ref_crops, _, ref_K_new, ref_pose_new, _ = normalize_reference_views_device(
+            sel_imgs, None, sel_poses, sel_Ks, center, diameter, size,
+            margin, input_pose=in_pose_warp, input_K=que_K_warp)
+        return (que_warp, que_K_warp, in_pose_warp, que_pose_rect, ref_crops,
+                ref_pose_new, ref_K_new)
+
+    def _refine_compose(self, quat, scale_pr, offset_pr, in_pose_warp,
+                        que_K_warp, que_pose_rect, norm_scale, norm_offset):
+        """Single-query composition after the network (refiner.py:334-341)."""
+        center = jnp.zeros(3)
+        pose_sim = compose_sim_pose(scale_pr, quat, offset_pr, in_pose_warp,
+                                    center)
+        pose_pr = pose_sim_to_pose_rigid(pose_sim, in_pose_warp, que_K_warp,
+                                         que_K_warp, center)
+        pose_pr = pose_compose(pose_pr, pose_inverse(que_pose_rect))
+        return denormalize_pose(pose_pr, norm_scale, norm_offset)
+
+    def _refine_iter_batch(self, params, que_imgs, que_Ks, poses_in, ref_imgs,
+                           ref_poses, ref_Ks, norm_scale, norm_offset):
+        """One batched refinement iteration: vmapped geometry around one
+        batched refiner network call."""
+        (que_warp, que_K_warp, in_pose_warp, que_pose_rect, ref_crops,
+         ref_pose_new, ref_K_new) = jax.vmap(
+            self._refine_prewarp, in_axes=(0, 0, 0, None, None, None, None, None)
+        )(que_imgs, que_Ks, poses_in, ref_imgs, ref_poses, ref_Ks, norm_scale,
+          norm_offset)
+        out = self.refiner.apply(params, que_warp, que_K_warp, in_pose_warp,
+                                 ref_crops, ref_pose_new, ref_K_new)
+        return jax.vmap(self._refine_compose, in_axes=(0, 0, 0, 0, 0, 0, None,
+                                                       None))(
+            out['rotation'], 2.0 ** out['scale'][:, 0], out['offset'],
+            in_pose_warp, que_K_warp, que_pose_rect, norm_scale, norm_offset)
+
+    def _refine_fn(self):
         @jax.jit
         def run(params, que_img, que_K, pose_in_raw, ref_imgs, ref_poses,
                 ref_Ks, norm_scale, norm_offset):
-            """One refinement iteration, fully on device
+            """One refinement iteration for a single query
             (refiner.py:275-341 semantics)."""
-            center = jnp.zeros(3)
-            diameter = 2.0
-            in_pose = normalize_pose(pose_in_raw, norm_scale, norm_offset)
-
-            # warp query to look at the object w.r.t. the input pose
-            _, new_f = let_me_look_at(in_pose, que_K, center)
-            in_dist = jnp.linalg.norm(camera_position(in_pose) - center)
-            in_f = size * (1 - margin) / diameter * in_dist
-            scale = in_f / new_f
-            position, _ = project_points(center[None], in_pose, que_K)
-            H, que_K_warp, in_pose_warp, que_pose_rect = look_at_crop_transform(
-                que_K, in_pose, position[0], 0.0, scale, size, size)
-            que_warp = warp_perspective(que_img, H, (size, size))
-
-            # select ref_num nearest reference views by view correlation
-            # (select_reference_img_ids_refinement, database_utils.py:125-139)
-            corr = view_correlation(in_pose_warp[None], ref_poses, center)[0]
-            _, top_idx = jax.lax.top_k(corr, ref_num)
-            sel_imgs = ref_imgs[top_idx]
-            sel_poses = ref_poses[top_idx]
-            sel_Ks = ref_Ks[top_idx]
-
-            # normalize + in-plane-align the selected refs w.r.t. input pose
-            ref_crops, _, ref_K_new, ref_pose_new, _ = normalize_reference_views_device(
-                sel_imgs, None, sel_poses, sel_Ks, center, diameter, size,
-                margin, input_pose=in_pose_warp, input_K=que_K_warp)
-
-            out = refiner.apply(params, que_warp[None], que_K_warp[None],
-                                in_pose_warp[None], ref_crops[None],
-                                ref_pose_new[None], ref_K_new[None])
-            quat = out['rotation'][0]
-            scale_pr = 2.0 ** out['scale'][0]
-            offset_pr = out['offset'][0]
-
-            pose_sim = compose_sim_pose(scale_pr, quat, offset_pr, in_pose_warp,
-                                        center)
-            pose_pr = pose_sim_to_pose_rigid(pose_sim, in_pose_warp, que_K_warp,
-                                             que_K_warp, center)
-            pose_pr = pose_compose(pose_pr, pose_inverse(que_pose_rect))
-            return denormalize_pose(pose_pr, norm_scale, norm_offset)
+            return self._refine_iter_batch(params, que_img[None], que_K[None],
+                                           pose_in_raw[None], ref_imgs,
+                                           ref_poses, ref_Ks, norm_scale,
+                                           norm_offset)[0]
         return run
+
+    def _fused_fn(self):
+        """The whole detect -> crop -> select -> solve -> refine xN pipeline as
+        ONE jitted program over a query batch — zero host round-trips between
+        stages (vs. the reference's 4+ per query, SURVEY.md §3.1)."""
+        det = self.detector
+        sel = self.selector
+        size = self.cfg['ref_resolution']
+        refine_iter = self.cfg['refine_iter']
+
+        @jax.jit
+        def run(det_params, sel_params, ref_params, que_imgs, que_Ks, ref_info):
+            qn = que_imgs.shape[0]
+            out = det.apply(det_params, que_imgs, ref_info['det_ref_feats'],
+                            method='detect')
+            positions, scales = parse_detection(
+                out['scores'], out['select_pr_scale'], out['select_pr_offset'])
+
+            def crop_one(img, pos, scl):
+                M = t2d.crop_transform_2d(pos, 1.0 / scl, 0.0, size)
+                return warp_affine(img, M, (size, size))
+
+            crops = jax.vmap(crop_one)(que_imgs, positions, scales)
+            logits, angles = sel.apply(sel_params, crops, ref_info['sel_feats'],
+                                       ref_info['sel_pose_embed'],
+                                       method='select')
+            ref_idx = jnp.argmax(logits, 1)
+            angle = angles[jnp.arange(qn), ref_idx]
+
+            pose0 = jax.vmap(
+                estimate_pose_from_similarity_transform_compose,
+                in_axes=(0, 0, 0, 0, 0, 0, None))(
+                positions, scales, angle, ref_info['poses'][ref_idx],
+                ref_info['Ks'][ref_idx], que_Ks, ref_info['center'])
+
+            if self.refiner is None or refine_iter == 0:
+                return pose0
+
+            def body(poses, _):
+                poses = self._refine_iter_batch(
+                    ref_params, que_imgs, que_Ks, poses,
+                    ref_info['refine_imgs'], ref_info['refine_poses'],
+                    ref_info['refine_Ks'], ref_info['norm_scale'],
+                    ref_info['norm_offset'])
+                return poses, None
+
+            poses, _ = jax.lax.scan(body, pose0, None, length=refine_iter)
+            return poses
+        return run
+
+    def predict_batch(self, que_imgs, que_Ks):
+        """Batched fused prediction: que_imgs (qn,h,w,3) uint8/float,
+        que_Ks (qn,3,3) -> poses (qn,3,4) numpy. The production serving path."""
+        que_imgs = np.asarray(que_imgs)
+        if que_imgs.dtype == np.uint8:
+            que_imgs = que_imgs.astype(np.float32) / 255.0
+        fused = self._get('fused', self._fused_fn)
+        keys = ['det_ref_feats', 'sel_feats', 'sel_pose_embed', 'poses', 'Ks',
+                'center']
+        if self.refiner is not None:
+            keys += ['refine_imgs', 'refine_poses', 'refine_Ks', 'norm_scale',
+                     'norm_offset']
+        ref_info = {k: self.ref_info[k] for k in keys}
+        poses = fused(self.detector_params, self.selector_params,
+                      self.refiner_params, jnp.asarray(que_imgs),
+                      jnp.asarray(que_Ks, jnp.float32), ref_info)
+        return np.asarray(poses)
 
     def _get(self, name, maker):
         if name not in self._jit_cache:

@@ -1,0 +1,94 @@
+"""Estimator construction from YAML configs (the reference's config system:
+load_cfg + per-class default_cfg merge + sub-config paths,
+estimator.py:106-125, base_utils.py:49-51).
+
+Checkpoint sources:
+- ``torch``: a reference ``model_best.pth`` converted via gen6d_tpu.models.convert;
+- ``orbax``: a gen6d_tpu-trained checkpoint directory;
+- missing/none: random init (smoke/demo mode; a warning is printed).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from gen6d_tpu.models import name2network
+from gen6d_tpu.models.convert import load_torch_checkpoint, name2converter
+
+
+def load_cfg(path):
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _random_init(network, kind, key):
+    if kind == 'detector':
+        return jax.jit(network.init)(key, jnp.zeros((2, 128, 128, 3)),
+                                     jnp.zeros((1, 128, 128, 3)))
+    if kind == 'selector':
+        poses = jnp.tile(jnp.eye(3, 4)[None], (3, 1, 1)).at[:, 2, 3].set(3.0)
+        return jax.jit(network.init)(key, jnp.zeros((5, 3, 128, 128, 3)), poses,
+                                     jnp.zeros(3), jnp.asarray([0.0, 0, 1]),
+                                     jnp.zeros((1, 128, 128, 3)))
+    K = jnp.asarray([[300.0, 0, 64], [0, 300, 64], [0, 0, 1]])[None]
+    pose = jnp.eye(3, 4)[None].at[:, 2, 3].set(3.0)
+    return jax.jit(network.init)(key, jnp.zeros((1, 128, 128, 3)), K, pose,
+                                 jnp.zeros((1, 2, 128, 128, 3)),
+                                 jnp.tile(pose[:, None], (1, 2, 1, 1)),
+                                 jnp.tile(K[:, None], (1, 2, 1, 1)))
+
+
+def load_network(cfg, dtype=None):
+    """cfg: dict with 'network' (detector/selector/refiner), optional
+    'checkpoint' {'type','path'}, optional 'network_cfg'. Returns
+    (module, params)."""
+    kind = cfg['network']
+    network = name2network[kind](cfg.get('network_cfg'), dtype=dtype)
+    ckpt = cfg.get('checkpoint')
+    if ckpt and ckpt.get('type') == 'torch' and os.path.exists(ckpt['path']):
+        sd = load_torch_checkpoint(ckpt['path'])
+        params = name2converter[kind](sd)
+        params = jax.tree.map(jnp.asarray, params)
+        print(f'loaded {kind} from torch checkpoint {ckpt["path"]}')
+    elif ckpt and ckpt.get('type') == 'orbax' and os.path.exists(ckpt['path']):
+        import orbax.checkpoint as ocp
+        ref = _random_init(network, kind, jax.random.PRNGKey(0))
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(ckpt['path']), ref)
+        print(f'loaded {kind} from orbax checkpoint {ckpt["path"]}')
+    else:
+        if ckpt:
+            print(f'WARNING: checkpoint {ckpt.get("path")} not found; '
+                  f'{kind} uses random weights')
+        else:
+            print(f'WARNING: no checkpoint configured; {kind} uses random weights')
+        params = _random_init(network, kind, jax.random.PRNGKey(0))
+    return network, params
+
+
+def load_estimator(cfg_path):
+    """Build a Gen6DEstimator from a composite YAML (the gen6d_pretrain.yaml
+    pattern: top-level estimator cfg + per-network sub-config paths)."""
+    from gen6d_tpu.pipeline.estimator import Gen6DEstimator
+    cfg = load_cfg(cfg_path)
+    dtype = {'bfloat16': jnp.bfloat16, 'float32': None,
+             None: None}[cfg.get('dtype')]
+    base = os.path.dirname(os.path.abspath(cfg_path))
+
+    def sub(name):
+        p = cfg[name]
+        if isinstance(p, str):
+            p = load_cfg(p if os.path.isabs(p) else os.path.join(base, p))
+        return p
+
+    detector = load_network(sub('detector'), dtype)
+    selector = load_network(sub('selector'), dtype)
+    refiner = None
+    if cfg.get('refiner') is not None:
+        refiner = load_network(sub('refiner'), dtype)
+    est_cfg = {k: v for k, v in cfg.items()
+               if k in Gen6DEstimator.default_cfg}
+    return Gen6DEstimator(est_cfg, detector=detector, selector=selector,
+                          refiner=refiner)

