@@ -106,10 +106,6 @@ def normalize_reference_views_device(ref_imgs, ref_masks, ref_poses, ref_Ks,
     Hs, K_new, pose_new, _ = reference_crop_transforms(
         ref_poses, ref_Ks, object_center, object_diameter, size, margin,
         object_vert, input_pose, input_K, extra_angle)
-    # barrier: without it XLA fuses the whole per-view transform chain into the
-    # warp's per-pixel index computation and recomputes it 128^2 times
-    # (measured 27ms vs 1ms for the 8x6-view refine prewarp)
-    Hs = jax.lax.optimization_barrier(Hs)
     warp = jax.vmap(lambda im, h: warp_perspective(im, h, (size, size)))
     imgs = warp(ref_imgs, Hs)
     masks = None

@@ -313,9 +313,15 @@ class Gen6DEstimator:
             return poses
         return run
 
-    def predict_batch(self, que_imgs, que_Ks):
+    def predict_batch(self, que_imgs, que_Ks, mesh=None):
         """Batched fused prediction: que_imgs (qn,h,w,3) uint8/float,
-        que_Ks (qn,3,3) -> poses (qn,3,4) numpy. The production serving path."""
+        que_Ks (qn,3,3) -> poses (qn,3,4) numpy. The production serving path.
+
+        With ``mesh`` (a jax.sharding.Mesh with a 'dp' axis) the query batch is
+        sharded over dp and the reference caches are replicated — the
+        multi-chip pose server (BASELINE.json config #5); GSPMD inserts the
+        collectives. qn must be divisible by the dp size.
+        """
         que_imgs = np.asarray(que_imgs)
         if que_imgs.dtype == np.uint8:
             que_imgs = que_imgs.astype(np.float32) / 255.0
@@ -326,9 +332,19 @@ class Gen6DEstimator:
             keys += ['refine_imgs', 'refine_poses', 'refine_Ks', 'norm_scale',
                      'norm_offset']
         ref_info = {k: self.ref_info[k] for k in keys}
+        que_imgs = jnp.asarray(que_imgs)
+        que_Ks = jnp.asarray(que_Ks, jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp_sh = NamedSharding(mesh, P('dp'))
+            rep = NamedSharding(mesh, P())
+            que_imgs = jax.device_put(que_imgs, dp_sh)
+            que_Ks = jax.device_put(que_Ks, dp_sh)
+            ref_info = jax.tree.map(
+                lambda x: jax.device_put(x, rep)
+                if isinstance(x, jnp.ndarray) else x, ref_info)
         poses = fused(self.detector_params, self.selector_params,
-                      self.refiner_params, jnp.asarray(que_imgs),
-                      jnp.asarray(que_Ks, jnp.float32), ref_info)
+                      self.refiner_params, que_imgs, que_Ks, ref_info)
         return np.asarray(poses)
 
     def _get(self, name, maker):

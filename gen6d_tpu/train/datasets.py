@@ -87,8 +87,23 @@ class SyntheticTrainData:
             self.imgs[self.ref_idx], self.masks[self.ref_idx],
             self.poses[self.ref_idx], self.Ks[self.ref_idx])
 
+        # the staged arrays, passed as ARGS to the jitted batch builders (NOT
+        # closed over: a static `self` embeds them as HLO constants and the
+        # 96-view pool alone is ~354MB -> remote-compile upload rejected)
+        self.pool = {'imgs': self.imgs, 'masks': self.masks,
+                     'poses': self.poses, 'Ks': self.Ks,
+                     'ref_crops': self.ref_crops,
+                     'ref_poses_new': self.ref_poses_new,
+                     'ref_Ks_new': self.ref_Ks_new,
+                     'ref_idx': self.ref_idx}
+        self._jits = {}
+
+    def _jit(self, name, fn, static):
+        if name not in self._jits:
+            self._jits[name] = jax.jit(fn, static_argnums=static)
+        return self._jits[name]
+
     # -------------------------------------------------------------- detection
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
     def det_batch(self, key, qn=4, que_size=512):
         """-> {'ref_imgs', 'que_imgs', 'cens', 'scale_diff'} (detector step).
 
@@ -97,8 +112,12 @@ class SyntheticTrainData:
         +-22.5deg, random center offset; composited onto a random-color
         background (train_dataset.py:432-597 semantics, device-side).
         """
+        fn = self._jit('det', self._det_batch_impl, static=(2, 3))
+        return fn(key, self.pool, qn, que_size)
+
+    def _det_batch_impl(self, key, pool, qn, que_size):
         keys = jax.random.split(key, 6)
-        vi = jax.random.randint(keys[0], (qn,), 0, self.imgs.shape[0])
+        vi = jax.random.randint(keys[0], (qn,), 0, pool['imgs'].shape[0])
         scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=-0.5,
                                               maxval=1.2)
         rot_aug = jnp.deg2rad(jax.random.uniform(keys[2], (qn,), minval=-22.5,
@@ -125,29 +144,32 @@ class SyntheticTrainData:
             return img_w, mask_w, K_new, pose_new, off
 
         img_w, mask_w, K_new, pose_new, cens = jax.vmap(build_one)(
-            self.imgs[vi], self.masks[vi], self.poses[vi], self.Ks[vi],
-            scale_aug, rot_aug, off_aug)
+            pool['imgs'][vi], pool['masks'][vi], pool['poses'][vi],
+            pool['Ks'][vi], scale_aug, rot_aug, off_aug)
         que_imgs = img_w * mask_w + bg * (1 - mask_w)
 
         # GT scale: camera similarity from the normalized ref convention to the
         # augmented query (que_ref_scale_rotation_from_poses semantics)
-        corr = view_correlation(pose_new, self.ref_poses_new, self.center)
+        corr = view_correlation(pose_new, pool['ref_poses_new'], self.center)
         gt_ref = jnp.argmax(corr, 1)
         scale_diff, _ = scale_rotation_difference_from_cameras(
-            self.ref_poses_new[gt_ref], pose_new, self.ref_Ks_new[gt_ref],
+            pool['ref_poses_new'][gt_ref], pose_new, pool['ref_Ks_new'][gt_ref],
             K_new, self.center)
-        return {'ref_imgs': self.ref_crops, 'que_imgs': que_imgs,
+        return {'ref_imgs': pool['ref_crops'], 'que_imgs': que_imgs,
                 'cens': cens, 'scale_diff': scale_diff}
 
     # -------------------------------------------------------------- selection
-    @functools.partial(jax.jit, static_argnums=(0, 2))
     def sel_batch(self, key, qn=4):
         """-> selector train-step batch. Query crops around the object with
         scale 2^[-0.3,0.3] and in-plane rotation +-90deg augmentation; GT view
         scores = view correlations, GT angle from the camera similarity
         (train_dataset.py:810-1061 semantics)."""
+        fn = self._jit('sel', self._sel_batch_impl, static=(2,))
+        return fn(key, self.pool, qn)
+
+    def _sel_batch_impl(self, key, pool, qn):
         keys = jax.random.split(key, 4)
-        vi = jax.random.randint(keys[0], (qn,), 0, self.imgs.shape[0])
+        vi = jax.random.randint(keys[0], (qn,), 0, pool['imgs'].shape[0])
         scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=-0.3,
                                               maxval=0.3)
         rot_aug = jax.random.uniform(keys[2], (qn,), minval=-jnp.pi / 2,
@@ -164,7 +186,8 @@ class SyntheticTrainData:
             return warp_perspective(img, H, (self.size, self.size)), K_new, pose_new
 
         que_imgs, que_Ks, que_poses = jax.vmap(build_one)(
-            self.imgs[vi], self.poses[vi], self.Ks[vi], scale_aug, rot_aug)
+            pool['imgs'][vi], pool['poses'][vi], pool['Ks'][vi], scale_aug,
+            rot_aug)
 
         # rotated reference copies (an=5) — the selector's ref bank
         angles = jnp.asarray([-jnp.pi / 2, -jnp.pi / 4, 0.0, jnp.pi / 4,
@@ -172,34 +195,38 @@ class SyntheticTrainData:
 
         def rot_refs(angle):
             imgs, _, _, _, _ = normalize_reference_views_device(
-                self.imgs[self.ref_idx], None, self.poses[self.ref_idx],
-                self.Ks[self.ref_idx], self.center, self.diameter, self.size,
-                self.margin, object_vert=self.vert, extra_angle=angle)
+                pool['imgs'][pool['ref_idx']], None,
+                pool['poses'][pool['ref_idx']], pool['Ks'][pool['ref_idx']],
+                self.center, self.diameter, self.size, self.margin,
+                object_vert=self.vert, extra_angle=angle)
             return imgs
 
         ref_imgs = jax.vmap(rot_refs)(angles)  # an,rfn,h,w,3
 
-        scores = view_correlation(que_poses, self.ref_poses_new, self.center)
+        scores = view_correlation(que_poses, pool['ref_poses_new'], self.center)
         gt_ref_ids = jnp.argmax(scores, 1)
         _, angles_r2q = scale_rotation_difference_from_cameras(
-            self.ref_poses_new[gt_ref_ids], que_poses,
-            self.ref_Ks_new[gt_ref_ids], que_Ks, self.center)
-        return {'ref_imgs': ref_imgs, 'ref_poses': self.ref_poses_new,
+            pool['ref_poses_new'][gt_ref_ids], que_poses,
+            pool['ref_Ks_new'][gt_ref_ids], que_Ks, self.center)
+        return {'ref_imgs': ref_imgs, 'ref_poses': pool['ref_poses_new'],
                 'object_center': self.center, 'object_vert': self.vert,
                 'que_imgs': que_imgs, 'ref_vp_scores': scores,
                 'angles_r2q': angles_r2q, 'gt_ref_ids': gt_ref_ids}
 
     # ------------------------------------------------------------- refinement
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
     def ref_batch(self, key, qn=2, ref_num=6):
         """-> refiner train-step batch (train_dataset.py:1243-1396 semantics,
         device-side): input pose = nearby view (top-8 by correlation), query
         warped to look at the input pose with scale 2^[-0.3,0.3] / rot +-15deg /
         offset N(0,4) noise; GT = approximate_rigid_to_similarity."""
+        fn = self._jit('ref', self._ref_batch_impl, static=(2, 3))
+        return fn(key, self.pool, qn, ref_num)
+
+    def _ref_batch_impl(self, key, pool, qn, ref_num):
         size = self.size
         margin = self.margin
         keys = jax.random.split(key, 6)
-        vi = jax.random.randint(keys[0], (qn,), 0, self.imgs.shape[0])
+        vi = jax.random.randint(keys[0], (qn,), 0, pool['imgs'].shape[0])
         scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=-0.3,
                                               maxval=0.3)
         rot_aug = jnp.deg2rad(jax.random.uniform(keys[2], (qn,), minval=-15.0,
@@ -208,15 +235,15 @@ class SyntheticTrainData:
         pick = jax.random.randint(keys[4], (qn,), 0, 8)
 
         def build_one(qi, s_aug, r_aug, off, pk):
-            que_pose = self.poses[qi]
-            que_K = self.Ks[qi]
-            que_img = self.imgs[qi]
+            que_pose = pool['poses'][qi]
+            que_K = pool['Ks'][qi]
+            que_img = pool['imgs'][qi]
             # input pose: one of the top-8 correlated views
-            corr = view_correlation(que_pose[None], self.poses, self.center)[0]
+            corr = view_correlation(que_pose[None], pool['poses'], self.center)[0]
             _, top = jax.lax.top_k(corr, 8)
             ii = top[pk]
-            input_pose_raw = self.poses[ii]
-            input_K_raw = self.Ks[ii]
+            input_pose_raw = pool['poses'][ii]
+            input_K_raw = pool['Ks'][ii]
 
             # rectify input to look at the object at canonical scale
             # (train_dataset.py:1260-1272)
@@ -247,10 +274,10 @@ class SyntheticTrainData:
                 input_pose, que_pose_warp, input_K, que_K_warp, self.center)
 
             # reference views near the input pose (train_dataset.py:1357-1396)
-            corr_r = view_correlation(input_pose[None], self.poses, self.center)[0]
+            corr_r = view_correlation(input_pose[None], pool['poses'], self.center)[0]
             _, ridx = jax.lax.top_k(corr_r, ref_num)
             ref_crops, _, ref_Ks_new, ref_poses_new, _ = normalize_reference_views_device(
-                self.imgs[ridx], None, self.poses[ridx], self.Ks[ridx],
+                pool['imgs'][ridx], None, pool['poses'][ridx], pool['Ks'][ridx],
                 self.center, self.diameter, size, margin,
                 input_pose=input_pose, input_K=input_K)
             return (que_img_warp, que_K_warp, input_pose, pose_sim, ref_crops,

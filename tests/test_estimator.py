@@ -171,6 +171,20 @@ class TestPredict:
             pose_i, _ = est.predict(imgs[i], Ks[i])
             np.testing.assert_allclose(batch_poses[i], pose_i, atol=2e-3)
 
+    def test_predict_batch_dp_sharded(self, built_estimator):
+        """The fused program under a dp mesh (multi-chip pose server) must
+        reproduce the single-device result."""
+        import jax
+        from gen6d_tpu.parallel.sharding import make_mesh
+        est, db = built_estimator
+        mesh = make_mesh(jax.devices()[:4], dp=4, view=1)
+        imgs = np.stack([db.scene.render(i)[0] for i in (0, 2, 5, 7)], 0)
+        Ks = np.stack([db.scene.K] * 4, 0)
+        ref = est.predict_batch(imgs, Ks)
+        with mesh:
+            sharded = est.predict_batch(imgs, Ks, mesh=mesh)
+        np.testing.assert_allclose(sharded, ref, atol=1e-3)
+
     def test_tracking_mode(self, built_estimator):
         """pose_init given -> detection/selection skipped (estimator.py:206-215)."""
         est, db = built_estimator
