@@ -20,6 +20,59 @@ def save_image(path, img):
     Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(path)
 
 
+def visualize_intermediate_results(img, K, inter_results, ref_info,
+                                   object_bbox_3d, object_center=None,
+                                   pose_gt=None):
+    """Detection bbox + top-5 selected views + per-iteration refinement bboxes
+    (port of reference eval.py:30-77)."""
+    import jax.numpy as jnp
+    from gen6d_tpu.geometry.camera import project_points
+    from gen6d_tpu.ops.warp import warp_affine
+    from gen6d_tpu.geometry import transform2d as t2d
+    from gen6d_tpu.utils.draw import (concat_images_list, draw_bbox,
+                                      draw_bbox_3d)
+
+    to_u8 = lambda x: np.clip(np.asarray(x) * 255, 0, 255).astype(np.uint8)
+    output_imgs = []
+    if 'det_scale_r2q' in inter_results and 'sel_angle_r2q' in inter_results:
+        det_scale = inter_results['det_scale_r2q']
+        det_pos = inter_results['det_position']
+        det_crop = to_u8(inter_results['det_que_img'])
+        size = det_crop.shape[0]
+        pr_bbox = np.concatenate([det_pos - size / 2 * det_scale,
+                                  np.full(2, size) * det_scale])
+        output_imgs.append(draw_bbox(img, pr_bbox, color=(0, 0, 255)))
+
+        # selection: rotated crop + top-5 reference views
+        angle = inter_results['sel_angle_r2q']
+        scores = inter_results['sel_scores']
+        h = det_crop.shape[0]
+        M = t2d.crop_transform_2d(jnp.asarray([h / 2.0, h / 2.0]), 1.0,
+                                  -angle, h)
+        rot = to_u8(warp_affine(jnp.asarray(det_crop, jnp.float32) / 255.0,
+                                M, (h, h)))
+        ref_imgs = np.asarray(ref_info['ref_imgs'])
+        an = ref_imgs.shape[0]
+        tops = [to_u8(ref_imgs[an // 2, i]) for i in np.argsort(-scores)[:5]]
+        output_imgs.append(concat_images_list(det_crop, rot, *tops, vert=True))
+
+    refine_imgs = []
+    for k in range(1, len(inter_results.get('refine_poses', []))):
+        pose_in = inter_results['refine_poses'][k - 1]
+        pose_out = inter_results['refine_poses'][k]
+        pts_in, _ = project_points(jnp.asarray(object_bbox_3d),
+                                   jnp.asarray(pose_in), jnp.asarray(K))
+        pts_out, _ = project_points(jnp.asarray(object_bbox_3d),
+                                    jnp.asarray(pose_out), jnp.asarray(K))
+        vis = draw_bbox_3d(img, np.asarray(pts_in), (255, 0, 0))
+        vis = draw_bbox_3d(vis, np.asarray(pts_out), (0, 0, 255))
+        refine_imgs.append(vis)
+    if refine_imgs:
+        output_imgs.append(concat_images_list(*refine_imgs))
+    from gen6d_tpu.utils.draw import concat_images_list as cil
+    return cil(*output_imgs)
+
+
 def evaluate(cfg_path, object_name, split_type=None, symmetric=False,
              batch=8, vis_interval=0, output_root='data/eval', max_queries=None):
     estimator = load_estimator(cfg_path)

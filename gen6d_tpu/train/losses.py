@@ -87,6 +87,33 @@ def selection_loss(logits_pr, scores_gt, angles_pr, angles_gt, gt_ref_ids,
     return loss_score, loss_angle
 
 
+def apply_rigid_transformation(grids, center, scale, offset, quaternion):
+    """RefinerLoss.apply_rigid_transformation (loss.py:152-167): rotate around
+    the center, add the 2D offset to the center, scale its depth.
+
+    grids: (qn,pn,3); center: (qn,1,3); scale: (qn,1); offset: (qn,2);
+    quaternion: (qn,4) -> (qn,pn,3).
+    """
+    pn = grids.shape[1]
+    rotated = quat_apply(jnp.repeat(quaternion[:, None], pn, 1), grids - center)
+    center = center.at[:, :, :2].add(offset[:, None, :2])
+    center = center.at[:, :, 2:].multiply(scale[:, None, :])
+    return rotated + center
+
+
+def refiner_loss_raw(quat_pr, offset_pr, scale_pr, quat_gt, offset_gt, scale_gt,
+                     grids, center, poses_in, scale_log_base=2.0):
+    """RefinerLoss with loss_space='raw' (loss.py:184-188): compare predicted
+    vs GT decomposed transforms applied to the grid points."""
+    center_in = pose_apply(poses_in, center[:, None, :])
+    grids_gt = apply_rigid_transformation(grids, center_in, scale_gt[:, None],
+                                          offset_gt, quat_gt)
+    grids_pr = apply_rigid_transformation(grids, center_in,
+                                          scale_log_base ** scale_pr,
+                                          offset_pr, quat_pr)
+    return jnp.mean(jnp.sum((grids_gt - grids_pr) ** 2, -1), 1)
+
+
 def refiner_loss(quat_pr, offset_pr, scale_pr, grids, center, poses_in,
                  poses_sim_in_to_que, scale_log_base=2.0):
     """RefinerLoss 'sim' space (loss.py:169-193): apply predicted vs GT

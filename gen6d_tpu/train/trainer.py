@@ -108,45 +108,73 @@ class Trainer:
             print(f'resumed from step {self.step}')
 
     # ------------------------------------------------------------ validation
-    def validate(self, key):
-        """Small held-out evaluation with the same batch builders, fixed seed
-        (val determinism per reference utils/dataset_utils.py:26-34)."""
+    def _val_fn(self):
+        """Jitted validation forward+metrics (un-jitted eval executes eagerly
+        op-by-op on the TPU backend and takes minutes)."""
         from gen6d_tpu.train import metrics as M
         from gen6d_tpu.models.detector import parse_detection
+        net = self.cfg['network']
+        network = self.network
+
+        if net == 'detector':
+            @jax.jit
+            def run(params, batch):
+                out = network.apply(params, batch['ref_imgs'], batch['que_imgs'])
+                pos, scl = parse_detection(out['scores'],
+                                           out['select_pr_scale'],
+                                           out['select_pr_offset'])
+                iou = M.detection_iou(pos, scl, batch['cens'],
+                                      batch['scale_diff'], ref_shape=(128, 128))
+                return {'iou': jnp.mean(iou)}
+            return run
+        if net == 'selector':
+            @jax.jit
+            def run(params, batch):
+                out = network.apply(params, batch['ref_imgs'],
+                                    batch['ref_poses'], batch['object_center'],
+                                    batch['object_vert'], batch['que_imgs'])
+                m = M.selection_metrics(out['ref_vp_logits'],
+                                        batch['ref_vp_scores'],
+                                        out['angles_pr'], batch['angles_r2q'],
+                                        batch['gt_ref_ids'])
+                return {k: jnp.mean(v) for k, v in m.items()}
+            return run
+
+        @jax.jit
+        def run(params, batch):
+            from gen6d_tpu.geometry.pose import pose_apply
+            from gen6d_tpu.train.losses import refiner_loss
+            out = network.apply(params, batch['que_imgs'], batch['que_Ks_in'],
+                                batch['que_poses_in'], batch['ref_imgs'],
+                                batch['ref_poses'], batch['ref_Ks'])
+            grids = pose_apply(batch['que_poses_in'], out['vol_coords'])
+            loss = refiner_loss(out['rotation'], out['offset'], out['scale'],
+                                grids, batch['object_center'],
+                                batch['que_poses_in'],
+                                batch['poses_sim_in_to_que'])
+            return {'val_loss_pose': jnp.mean(loss)}
+        return run
+
+    def validate(self, key):
+        """Fixed-seed held-out evaluation (val determinism per reference
+        utils/dataset_utils.py:26-34). Returns (metrics dict, key metric)."""
         net = self.cfg['network']
         val_key = jax.random.PRNGKey(12345)
         if net == 'detector':
             batch = self.data.det_batch(val_key, qn=self.cfg['batch_size'])
-            out = self.network.apply(self.params, batch['ref_imgs'],
-                                     batch['que_imgs'])
-            pos, scl = parse_detection(out['scores'], out['select_pr_scale'],
-                                       out['select_pr_offset'])
-            iou = M.detection_iou(pos, scl, batch['cens'], batch['scale_diff'],
-                                  ref_shape=(128, 128))
-            return {'iou': float(jnp.mean(iou))}, float(jnp.mean(iou))
-        if net == 'selector':
+        elif net == 'selector':
             batch = self.data.sel_batch(val_key, qn=self.cfg['batch_size'])
-            out = self.network.apply(self.params, batch['ref_imgs'],
-                                     batch['ref_poses'], batch['object_center'],
-                                     batch['object_vert'], batch['que_imgs'])
-            m = M.selection_metrics(out['ref_vp_logits'], batch['ref_vp_scores'],
-                                    out['angles_pr'], batch['angles_r2q'],
-                                    batch['gt_ref_ids'])
-            key_m = float(jnp.mean(m['sel_acc_3']) + jnp.mean(m['sel_ang_5']))
-            return {k: float(jnp.mean(v)) for k, v in m.items()}, key_m
-        batch = self.data.ref_batch(val_key, qn=max(1, self.cfg['batch_size'] // 2))
-        out = self.network.apply(self.params, batch['que_imgs'],
-                                 batch['que_Ks_in'], batch['que_poses_in'],
-                                 batch['ref_imgs'], batch['ref_poses'],
-                                 batch['ref_Ks'])
-        from gen6d_tpu.geometry.pose import pose_apply
-        from gen6d_tpu.train.losses import refiner_loss
-        grids = pose_apply(batch['que_poses_in'], out['vol_coords'])
-        loss = refiner_loss(out['rotation'], out['offset'], out['scale'], grids,
-                            batch['object_center'], batch['que_poses_in'],
-                            batch['poses_sim_in_to_que'])
-        val = -float(jnp.mean(loss))
-        return {'val_loss_pose': -val}, val
+        else:
+            batch = self.data.ref_batch(val_key,
+                                        qn=max(1, self.cfg['batch_size'] // 2))
+        if not hasattr(self, '_val_run'):
+            self._val_run = self._val_fn()
+        m = {k: float(v) for k, v in self._val_run(self.params, batch).items()}
+        if net == 'detector':
+            return m, m['iou']
+        if net == 'selector':
+            return m, m['sel_acc_3'] + m['sel_ang_5']
+        return m, -m['val_loss_pose']
 
     # ------------------------------------------------------------------- run
     def run(self):
@@ -154,6 +182,12 @@ class Trainer:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
         log_path = os.path.join(self.model_dir, 'train.txt')
+        # tensorboardX scalars (reference Logger, train_tools.py:93-108)
+        try:
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(os.path.join(self.model_dir, 'tb'))
+        except Exception:
+            tb = None
         t0 = time.time()
         while self.step < cfg['total_step']:
             key, sub = jax.random.split(key)
@@ -170,6 +204,9 @@ class Trainer:
                 print(line)
                 with open(log_path, 'a') as f:
                     f.write(line + '\n')
+                if tb is not None:
+                    for k, v in metrics.items():
+                        tb.add_scalar(f'train/{k}', float(v), self.step)
 
             if self.step % cfg['val_interval'] == 0 or self.step == cfg['total_step']:
                 val_metrics, key_metric = self.validate(key)
@@ -177,6 +214,9 @@ class Trainer:
                 print(line)
                 with open(log_path, 'a') as f:
                     f.write(line + '\n')
+                if tb is not None:
+                    for k, v in val_metrics.items():
+                        tb.add_scalar(f'val/{k}', float(v), self.step)
                 if key_metric > self.best_metric:
                     self.best_metric = key_metric
                     self._save('model_best')
