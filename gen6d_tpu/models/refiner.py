@@ -131,6 +131,10 @@ def interpolate_volume_feats(feats, verts, proj):
 class VolumeRefiner(nn.Module):
     cfg: Any = None
     dtype: Any = None
+    # Pallas fused sampling kernel (inference fast path). The kernel has no
+    # VJP yet; training builds the model with fast_volume=False to use the
+    # differentiable XLA gather path.
+    fast_volume: bool = True
 
     @property
     def sample_num(self):
@@ -164,7 +168,7 @@ class VolumeRefiner(nn.Module):
         ref_feats = ref_feats.reshape(qn, rfn, *ref_feats.shape[1:])
         ref_proj = (ref_Ks @ ref_poses).astype(jnp.float32)  # qn,rfn,3,4
 
-        if jax.default_backend() != 'cpu':
+        if self.fast_volume and jax.default_backend() != 'cpu':
             # fused Pallas unproject-sample-reduce (ops/volume_pallas.py)
             from gen6d_tpu.ops.volume_pallas import (volume_sample_meanstd,
                                                      volume_sample_single)
@@ -183,7 +187,11 @@ class VolumeRefiner(nn.Module):
                                                     vol_coords)
             vol_feats = vol_feats.astype(jnp.float32)
             mean = jnp.mean(vol_feats, 1)
-            std = jnp.std(vol_feats, 1, ddof=1)  # unbiased (refiner.py:237)
+            # unbiased std (refiner.py:237) with an epsilon inside the sqrt:
+            # volume points outside every view sample exactly 0 in all views,
+            # var == 0, and sqrt'(0) = inf NaNs the gradients at step 1
+            var = jnp.sum((vol_feats - mean[:, None]) ** 2, 1) / (rfn - 1)
+            std = jnp.sqrt(var + 1e-12)
 
             que_feats = self.feature_net(que_imgs)
             que_proj = que_Ks_in @ que_poses_in

@@ -46,7 +46,12 @@ class Trainer:
     def __init__(self, cfg=None):
         self.cfg = {**DEFAULT_TRAIN_CFG, **(cfg or {})}
         net_name = self.cfg['network']
-        self.network = name2network[net_name](self.cfg.get('network_cfg'))
+        kwargs = {}
+        if net_name == 'refiner':
+            # Pallas volume kernel has no VJP; train on the XLA gather path
+            kwargs['fast_volume'] = False
+        self.network = name2network[net_name](self.cfg.get('network_cfg'),
+                                              **kwargs)
         self.model_dir = os.path.abspath(
             os.path.join(self.cfg['model_dir'], self.cfg['name']))
         os.makedirs(self.model_dir, exist_ok=True)
@@ -93,6 +98,9 @@ class Trainer:
     def _save(self, tag):
         path = os.path.join(self.model_dir, tag)
         self.ckpt.save(path, self.params, force=True)
+        # orbax saves are async; an interpreter exiting mid-save corrupts the
+        # final checkpoint ("cannot schedule new futures after shutdown")
+        self.ckpt.wait_until_finished()
         with open(os.path.join(self.model_dir, f'{tag}.json'), 'w') as f:
             json.dump({'step': self.step, 'best_metric': float(self.best_metric)}, f)
 

@@ -71,6 +71,19 @@ class TestLosses:
         lb, _ = L.selection_loss(logits_bad, scores_gt, angles, jnp.zeros(qn), ids)
         assert np.all(np.array(lg) < np.array(lb))
 
+    def test_refiner_loss_raw_zero_for_gt(self, rng):
+        """'raw' loss space: identical pred/GT decompositions null the loss."""
+        qn, pn = 2, 32
+        quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0])[None], (qn, 1))
+        offset = jnp.asarray(rng.randn(qn, 2).astype(np.float32))
+        scale = jnp.asarray(rng.rand(qn, 1).astype(np.float32) + 0.5)
+        grids = jnp.asarray(rng.rand(qn, pn, 3).astype(np.float32))
+        center = jnp.zeros((qn, 3))
+        poses = jnp.tile(jnp.asarray(look_at([0.1, 0.1, -2.5]))[None], (qn, 1, 1))
+        loss = L.refiner_loss_raw(quat, offset, jnp.log2(scale), quat, offset,
+                                  scale[:, 0], grids, center, poses)
+        assert np.all(np.array(loss) < 1e-10)
+
     def test_refiner_loss_zero_for_gt_transform(self, rng):
         """Predicting exactly the GT similarity decomposition nulls the loss."""
         qn, pn = 1, 64
