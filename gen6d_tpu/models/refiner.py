@@ -131,9 +131,8 @@ def interpolate_volume_feats(feats, verts, proj):
 class VolumeRefiner(nn.Module):
     cfg: Any = None
     dtype: Any = None
-    # Pallas fused sampling kernel (inference fast path). The kernel has no
-    # VJP yet; training builds the model with fast_volume=False to use the
-    # differentiable XLA gather path.
+    # Pallas fused sampling kernels (with custom VJPs; usable in training and
+    # inference). False selects the XLA gather path (also the CPU fallback).
     fast_volume: bool = True
 
     @property
@@ -169,15 +168,16 @@ class VolumeRefiner(nn.Module):
         ref_proj = (ref_Ks @ ref_poses).astype(jnp.float32)  # qn,rfn,3,4
 
         if self.fast_volume and jax.default_backend() != 'cpu':
-            # fused Pallas unproject-sample-reduce (ops/volume_pallas.py)
-            from gen6d_tpu.ops.volume_pallas import (volume_sample_meanstd,
-                                                     volume_sample_single)
-            mean, std = jax.vmap(volume_sample_meanstd)(ref_feats, ref_proj,
-                                                        vol_coords)
+            # fused Pallas unproject-sample-reduce with custom VJPs
+            # (ops/volume_pallas.py) - usable for training too
+            from gen6d_tpu.ops.volume_pallas import (
+                volume_sample_meanstd_grad, volume_sample_single_grad)
+            mean, std = jax.vmap(volume_sample_meanstd_grad)(
+                ref_feats.astype(jnp.float32), ref_proj, vol_coords)
             que_feats = self.feature_net(que_imgs)
             que_proj = (que_Ks_in @ que_poses_in).astype(jnp.float32)
-            vol_feats_in = jax.vmap(volume_sample_single)(que_feats, que_proj,
-                                                          vol_coords)
+            vol_feats_in = jax.vmap(volume_sample_single_grad)(
+                que_feats.astype(jnp.float32), que_proj, vol_coords)
         else:
             def sample_one(feats, proj, verts):
                 return interpolate_volume_feats(feats, verts, proj)

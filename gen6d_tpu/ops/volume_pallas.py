@@ -52,9 +52,10 @@ def _meanstd_kernel(feats_ref, coords_ref, mean_ref, std_ref, *, rfn, h, w, f,
         acc2 = acc2 + s * s
     mean = acc / rfn
     mean_ref[:] = mean
-    # unbiased variance (torch.std default, refiner.py:237)
+    # unbiased variance (torch.std default, refiner.py:237); epsilon keeps the
+    # gradient finite at zero variance (points outside every view)
     var = jnp.maximum(acc2 - rfn * mean * mean, 0.0) / (rfn - 1)
-    std_ref[:] = jnp.sqrt(var)
+    std_ref[:] = jnp.sqrt(var + 1e-12)
 
 
 def _sample_kernel(feats_ref, coords_ref, out_ref, *, h, w, f, tile):
@@ -73,7 +74,7 @@ def _project(verts, proj):
 
 
 @functools.partial(jax.jit, static_argnames=('tile', 'interpret'))
-def volume_sample_meanstd(ref_feats, ref_projs, verts, tile=1024,
+def volume_sample_meanstd(ref_feats, ref_projs, verts, tile=512,
                           interpret=False):
     """Project ``verts`` into every reference view, bilinear-sample features,
     return (mean, std) over views.
@@ -114,7 +115,7 @@ def volume_sample_meanstd(ref_feats, ref_projs, verts, tile=1024,
 
 
 @functools.partial(jax.jit, static_argnames=('tile', 'interpret'))
-def volume_sample_single(feats, proj, verts, tile=1024, interpret=False):
+def volume_sample_single(feats, proj, verts, tile=512, interpret=False):
     """Single-view volume sampling (query branch). feats: (h, w, f);
     proj: (3,4); verts: (pn,3) -> (pn, f) float32."""
     h, w, f = feats.shape
@@ -137,6 +138,162 @@ def volume_sample_single(feats, proj, verts, tile=1024, interpret=False):
         interpret=interpret,
     )(feats.reshape(1, h * w, f), coords)
     return out
+
+
+def _meanstd_bwd_kernel(feats_ref, coords_ref, gmean_ref, gstd_ref, dfeats_ref,
+                        *, rfn, h, w, f, tile, eps):
+    """Backward: dL/dF_r = W_r^T @ (g_mean/rfn + g_std*(s_r-mean)/(std*(rfn-1))).
+
+    Grid over point tiles; dfeats blocks are revisited every step (TPU grid is
+    sequential) and accumulated.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dfeats_ref[:] = jnp.zeros_like(dfeats_ref)
+
+    # recompute per-view samples and the mean/std for this tile
+    samples = []
+    weights = []
+    acc = jnp.zeros((tile, f), jnp.float32)
+    for r in range(rfn):
+        xy = coords_ref[r]
+        x = xy[:, 0]
+        y = xy[:, 1]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (tile, h * w), 1)
+        yy = (ii // w).astype(jnp.float32)
+        xx = (ii % w).astype(jnp.float32)
+        W = (jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - yy)) *
+             jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xx)))
+        s = jnp.dot(W, feats_ref[r], preferred_element_type=jnp.float32)
+        samples.append(s)
+        weights.append(W)
+        acc = acc + s
+    mean = acc / rfn
+    var = jnp.zeros((tile, f), jnp.float32)
+    for r in range(rfn):
+        d = samples[r] - mean
+        var = var + d * d
+    std = jnp.sqrt(var / (rfn - 1) + eps)
+    std = jnp.maximum(std, 1e-8)  # guard the division below
+
+    gmean = gmean_ref[:]
+    gstd = gstd_ref[:]
+    for r in range(rfn):
+        G = gmean / rfn + gstd * (samples[r] - mean) / (std * (rfn - 1))
+        # W^T @ G: contract the tile axis
+        dF = jax.lax.dot_general(weights[r], G, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dfeats_ref[r] = dfeats_ref[r] + dF
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def volume_sample_meanstd_grad(ref_feats, ref_projs, verts, tile=512,
+                               interpret=False):
+    """Differentiable wrapper around the fused kernel: gradients flow to
+    ``ref_feats`` only (projections and volume coords are pose-derived inputs,
+    never trained — reference refiner.py:225-246 semantics)."""
+    return volume_sample_meanstd(ref_feats, ref_projs, verts, tile=tile,
+                                 interpret=interpret)
+
+
+def _vsm_fwd(ref_feats, ref_projs, verts, tile, interpret):
+    out = volume_sample_meanstd(ref_feats, ref_projs, verts, tile=tile,
+                                interpret=interpret)
+    return out, (ref_feats, ref_projs, verts)
+
+
+def _vsm_bwd(tile, interpret, res, g):
+    ref_feats, ref_projs, verts = res
+    gmean, gstd = g
+    rfn, h, w, f = ref_feats.shape
+    pn = verts.shape[0]
+    coords = jax.vmap(_project, in_axes=(None, 0))(verts, ref_projs)
+    coords = coords.astype(jnp.float32)
+    kernel = functools.partial(_meanstd_bwd_kernel, rfn=rfn, h=h, w=w, f=f,
+                               tile=tile, eps=1e-12)
+    dfeats = pl.pallas_call(
+        kernel,
+        grid=(pn // tile,),
+        in_specs=[
+            pl.BlockSpec((rfn, h * w, f), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rfn, tile, 2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rfn, h * w, f), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rfn, h * w, f), jnp.float32),
+        interpret=interpret,
+    )(ref_feats.reshape(rfn, h * w, f), coords,
+      jnp.asarray(gmean, jnp.float32), jnp.asarray(gstd, jnp.float32))
+    dfeats = dfeats.reshape(rfn, h, w, f).astype(ref_feats.dtype)
+    return (dfeats, jnp.zeros_like(ref_projs), jnp.zeros_like(verts))
+
+
+volume_sample_meanstd_grad.defvjp(_vsm_fwd, _vsm_bwd)
+
+
+def _single_bwd_kernel(coords_ref, g_ref, dfeats_ref, *, h, w, f, tile):
+    """dL/dF = W^T @ g for the single-view sampler."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dfeats_ref[:] = jnp.zeros_like(dfeats_ref)
+
+    xy = coords_ref[0]
+    x = xy[:, 0]
+    y = xy[:, 1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tile, h * w), 1)
+    yy = (ii // w).astype(jnp.float32)
+    xx = (ii % w).astype(jnp.float32)
+    W = (jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - yy)) *
+         jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xx)))
+    dF = jax.lax.dot_general(W, g_ref[:], (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dfeats_ref[0] = dfeats_ref[0] + dF
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def volume_sample_single_grad(feats, proj, verts, tile=512, interpret=False):
+    """Differentiable single-view sampler (gradients to ``feats`` only)."""
+    return volume_sample_single(feats, proj, verts, tile=tile,
+                                interpret=interpret)
+
+
+def _vss_fwd(feats, proj, verts, tile, interpret):
+    return (volume_sample_single(feats, proj, verts, tile=tile,
+                                 interpret=interpret), (feats, proj, verts))
+
+
+def _vss_bwd(tile, interpret, res, g):
+    feats, proj, verts = res
+    h, w, f = feats.shape
+    pn = verts.shape[0]
+    coords = _project(verts, proj).astype(jnp.float32)[None]
+    kernel = functools.partial(_single_bwd_kernel, h=h, w=w, f=f, tile=tile)
+    dfeats = pl.pallas_call(
+        kernel,
+        grid=(pn // tile,),
+        in_specs=[
+            pl.BlockSpec((1, tile, 2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, f), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, h * w, f), jnp.float32),
+        interpret=interpret,
+    )(coords, jnp.asarray(g, jnp.float32))
+    return (dfeats.reshape(h, w, f).astype(feats.dtype),
+            jnp.zeros_like(proj), jnp.zeros_like(verts))
+
+
+volume_sample_single_grad.defvjp(_vss_fwd, _vss_bwd)
 
 
 def volume_sample_meanstd_xla(ref_feats, ref_projs, verts):

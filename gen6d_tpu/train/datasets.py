@@ -87,11 +87,21 @@ class SyntheticTrainData:
             self.imgs[self.ref_idx], self.masks[self.ref_idx],
             self.poses[self.ref_idx], self.Ks[self.ref_idx])
 
+        # refiner batches work in NormalizedDatabase units (object scaled to
+        # the unit sphere: diameter 2, center 0) exactly like the reference
+        # (train_dataset.py:1445-1446) and like inference (refiner.py:289-290)
+        from gen6d_tpu.geometry.pose import normalize_pose
+        self.norm_scale = 2.0 / self.diameter
+        self.norm_offset = -self.norm_scale * np.asarray(self.center)
+        poses_norm = jax.vmap(normalize_pose, in_axes=(0, None, None))(
+            self.poses, self.norm_scale, jnp.asarray(self.norm_offset))
+
         # the staged arrays, passed as ARGS to the jitted batch builders (NOT
         # closed over: a static `self` embeds them as HLO constants and the
         # 96-view pool alone is ~354MB -> remote-compile upload rejected)
         self.pool = {'imgs': self.imgs, 'masks': self.masks,
                      'poses': self.poses, 'Ks': self.Ks,
+                     'poses_norm': poses_norm,
                      'ref_crops': self.ref_crops,
                      'ref_poses_new': self.ref_poses_new,
                      'ref_Ks_new': self.ref_Ks_new,
@@ -227,6 +237,9 @@ class SyntheticTrainData:
     def _ref_batch_impl(self, key, pool, qn, ref_num):
         size = self.size
         margin = self.margin
+        # normalized-object units (diameter 2, center 0) throughout
+        diameter = 2.0
+        center = jnp.zeros(3)
         keys = jax.random.split(key, 6)
         vi = jax.random.randint(keys[0], (qn,), 0, pool['imgs'].shape[0])
         scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=-0.3,
@@ -237,32 +250,32 @@ class SyntheticTrainData:
         pick = jax.random.randint(keys[4], (qn,), 0, 8)
 
         def build_one(qi, s_aug, r_aug, off, pk):
-            que_pose = pool['poses'][qi]
+            que_pose = pool['poses_norm'][qi]
             que_K = pool['Ks'][qi]
             que_img = pool['imgs'][qi]
             # input pose: one of the top-8 correlated views
-            corr = view_correlation(que_pose[None], pool['poses'], self.center)[0]
+            corr = view_correlation(que_pose[None], pool['poses_norm'], center)[0]
             _, top = jax.lax.top_k(corr, 8)
             ii = top[pk]
-            input_pose_raw = pool['poses'][ii]
+            input_pose_raw = pool['poses_norm'][ii]
             input_K_raw = pool['Ks'][ii]
 
             # rectify input to look at the object at canonical scale
             # (train_dataset.py:1260-1272)
-            input_dist = jnp.linalg.norm(camera_position(input_pose_raw) - self.center)
-            R_look, _ = let_me_look_at(input_pose_raw, input_K_raw, self.center)
+            input_dist = jnp.linalg.norm(camera_position(input_pose_raw) - center)
+            R_look, _ = let_me_look_at(input_pose_raw, input_K_raw, center)
             input_pose = pose_compose(
                 input_pose_raw, jnp.concatenate([R_look, jnp.zeros((3, 1))], 1))
-            f_in = size * (1 - margin) / self.diameter * input_dist
+            f_in = size * (1 - margin) / diameter * input_dist
             input_K = _make_K(f_in, size)
 
             scale_diff, angle_diff = scale_rotation_difference_from_cameras(
                 input_pose[None], que_pose[None], input_K[None], que_K[None],
-                self.center)
+                center)
             scale_diff, angle_diff = scale_diff[0], angle_diff[0]
 
             # warp query (train_dataset.py:1274-1293)
-            que_cen, _ = project_points(self.center[None], que_pose, que_K)
+            que_cen, _ = project_points(center[None], que_pose, que_K)
             R_new, f_new = let_me_look_at_2d(que_cen[0] + off, que_K)
             angle = r_aug - angle_diff
             R_new = rot_z(angle) @ R_new
@@ -273,14 +286,14 @@ class SyntheticTrainData:
             pose_rect = jnp.concatenate([R_new, jnp.zeros((3, 1))], 1)
             que_pose_warp = pose_compose(que_pose, pose_rect)
             pose_sim = approximate_rigid_to_similarity(
-                input_pose, que_pose_warp, input_K, que_K_warp, self.center)
+                input_pose, que_pose_warp, input_K, que_K_warp, center)
 
             # reference views near the input pose (train_dataset.py:1357-1396)
-            corr_r = view_correlation(input_pose[None], pool['poses'], self.center)[0]
+            corr_r = view_correlation(input_pose[None], pool['poses_norm'], center)[0]
             _, ridx = jax.lax.top_k(corr_r, ref_num)
             ref_crops, _, ref_Ks_new, ref_poses_new, _ = normalize_reference_views_device(
-                pool['imgs'][ridx], None, pool['poses'][ridx], pool['Ks'][ridx],
-                self.center, self.diameter, size, margin,
+                pool['imgs'][ridx], None, pool['poses_norm'][ridx], pool['Ks'][ridx],
+                center, diameter, size, margin,
                 input_pose=input_pose, input_K=input_K)
             return (que_img_warp, que_K_warp, input_pose, pose_sim, ref_crops,
                     ref_poses_new, ref_Ks_new)
@@ -290,5 +303,5 @@ class SyntheticTrainData:
         return {'que_imgs': que_imgs, 'que_Ks_in': que_Ks_in,
                 'que_poses_in': poses_in, 'ref_imgs': ref_imgs,
                 'ref_poses': ref_poses, 'ref_Ks': ref_Ks,
-                'object_center': jnp.tile(self.center[None], (qn, 1)),
+                'object_center': jnp.zeros((qn, 3)),
                 'poses_sim_in_to_que': poses_sim}

@@ -46,12 +46,7 @@ class Trainer:
     def __init__(self, cfg=None):
         self.cfg = {**DEFAULT_TRAIN_CFG, **(cfg or {})}
         net_name = self.cfg['network']
-        kwargs = {}
-        if net_name == 'refiner':
-            # Pallas volume kernel has no VJP; train on the XLA gather path
-            kwargs['fast_volume'] = False
-        self.network = name2network[net_name](self.cfg.get('network_cfg'),
-                                              **kwargs)
+        self.network = name2network[net_name](self.cfg.get('network_cfg'))
         self.model_dir = os.path.abspath(
             os.path.join(self.cfg['model_dir'], self.cfg['name']))
         os.makedirs(self.model_dir, exist_ok=True)

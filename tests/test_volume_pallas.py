@@ -40,3 +40,40 @@ class TestVolumeKernel:
         out = volume_sample_single(feats[0], projs[0], far, tile=512,
                                    interpret=True)
         assert float(jnp.max(jnp.abs(out))) == 0.0
+
+
+class TestVolumeKernelVJP:
+    def test_meanstd_grad_matches_xla_autodiff(self, rng):
+        import jax
+        feats, projs, verts = make_inputs(rng)
+        from gen6d_tpu.ops.volume_pallas import volume_sample_meanstd_grad
+
+        def lp(F):
+            m, s = volume_sample_meanstd_grad(F, projs, verts, 512, True)
+            return jnp.sum(m * m) + jnp.sum(s)
+
+        def lx(F):
+            m, s = volume_sample_meanstd_xla(F, projs, verts)
+            s = jnp.sqrt(s * s + 1e-12)
+            return jnp.sum(m * m) + jnp.sum(s)
+
+        g1 = jax.grad(lp)(feats)
+        g2 = jax.grad(lx)(feats)
+        np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-4)
+
+    def test_single_grad(self, rng):
+        import jax
+        from gen6d_tpu.ops.volume_pallas import volume_sample_single_grad
+        feats, projs, verts = make_inputs(rng, rfn=1)
+
+        def lp(F):
+            return jnp.sum(volume_sample_single_grad(F, projs[0], verts, 512,
+                                                     True) ** 2)
+
+        def lx(F):
+            m, _ = volume_sample_meanstd_xla(F[None], projs[:1], verts)
+            return jnp.sum(m ** 2)
+
+        g1 = jax.grad(lp)(feats[0])
+        g2 = jax.grad(lx)(feats[0])
+        np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-4)
