@@ -131,9 +131,12 @@ def interpolate_volume_feats(feats, verts, proj):
 class VolumeRefiner(nn.Module):
     cfg: Any = None
     dtype: Any = None
-    # Pallas fused sampling kernels (with custom VJPs; usable in training and
-    # inference). False selects the XLA gather path (also the CPU fallback).
+    # Pallas fused sampling kernels. False selects the XLA gather path (also
+    # the CPU fallback).
     fast_volume: bool = True
+    # use the custom-VJP-wrapped kernels (needed when differentiating; the
+    # wrapper costs some fusion in the big inference program)
+    grad_kernels: bool = False
 
     @property
     def sample_num(self):
@@ -168,16 +171,19 @@ class VolumeRefiner(nn.Module):
         ref_proj = (ref_Ks @ ref_poses).astype(jnp.float32)  # qn,rfn,3,4
 
         if self.fast_volume and jax.default_backend() != 'cpu':
-            # fused Pallas unproject-sample-reduce with custom VJPs
-            # (ops/volume_pallas.py) - usable for training too
-            from gen6d_tpu.ops.volume_pallas import (
-                volume_sample_meanstd_grad, volume_sample_single_grad)
-            mean, std = jax.vmap(volume_sample_meanstd_grad)(
-                ref_feats.astype(jnp.float32), ref_proj, vol_coords)
+            # fused Pallas unproject-sample-reduce (ops/volume_pallas.py);
+            # grad_kernels selects the custom-VJP wrappers for training
+            from gen6d_tpu.ops import volume_pallas as vp
+            ms = vp.volume_sample_meanstd_grad if self.grad_kernels \
+                else vp.volume_sample_meanstd
+            ss = vp.volume_sample_single_grad if self.grad_kernels \
+                else vp.volume_sample_single
+            mean, std = jax.vmap(ms)(ref_feats.astype(jnp.float32), ref_proj,
+                                     vol_coords)
             que_feats = self.feature_net(que_imgs)
             que_proj = (que_Ks_in @ que_poses_in).astype(jnp.float32)
-            vol_feats_in = jax.vmap(volume_sample_single_grad)(
-                que_feats.astype(jnp.float32), que_proj, vol_coords)
+            vol_feats_in = jax.vmap(ss)(que_feats.astype(jnp.float32), que_proj,
+                                        vol_coords)
         else:
             def sample_one(feats, proj, verts):
                 return interpolate_volume_feats(feats, verts, proj)

@@ -80,7 +80,8 @@ def volume_sample_meanstd(ref_feats, ref_projs, verts, tile=512,
     return (mean, std) over views.
 
     ref_feats: (rfn, h, w, f); ref_projs: (rfn, 3, 4) = K @ pose;
-    verts: (pn, 3) -> ((pn, f), (pn, f)) float32.
+    verts: (pn, 3) -> ((pn, f), (pn, f)) float32. Tile 512: larger tiles
+    exceed the 16MB scoped VMEM limit under a batch-8 vmap.
     """
     rfn, h, w, f = ref_feats.shape
     pn = verts.shape[0]
@@ -153,22 +154,25 @@ def _meanstd_bwd_kernel(feats_ref, coords_ref, gmean_ref, gstd_ref, dfeats_ref,
     def _():
         dfeats_ref[:] = jnp.zeros_like(dfeats_ref)
 
-    # recompute per-view samples and the mean/std for this tile
-    samples = []
-    weights = []
-    acc = jnp.zeros((tile, f), jnp.float32)
-    for r in range(rfn):
+    def hat_weights(r):
         xy = coords_ref[r]
         x = xy[:, 0]
         y = xy[:, 1]
         ii = jax.lax.broadcasted_iota(jnp.int32, (tile, h * w), 1)
         yy = (ii // w).astype(jnp.float32)
         xx = (ii % w).astype(jnp.float32)
-        W = (jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - yy)) *
-             jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xx)))
-        s = jnp.dot(W, feats_ref[r], preferred_element_type=jnp.float32)
+        return (jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - yy)) *
+                jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - xx)))
+
+    # recompute per-view samples and the mean/std for this tile. W matrices
+    # are NOT retained across views (rfn of them blow the 16MB VMEM budget);
+    # they are rebuilt in the gradient loop below (cheap VPU work).
+    samples = []
+    acc = jnp.zeros((tile, f), jnp.float32)
+    for r in range(rfn):
+        s = jnp.dot(hat_weights(r), feats_ref[r],
+                    preferred_element_type=jnp.float32)
         samples.append(s)
-        weights.append(W)
         acc = acc + s
     mean = acc / rfn
     var = jnp.zeros((tile, f), jnp.float32)
@@ -183,7 +187,7 @@ def _meanstd_bwd_kernel(feats_ref, coords_ref, gmean_ref, gstd_ref, dfeats_ref,
     for r in range(rfn):
         G = gmean / rfn + gstd * (samples[r] - mean) / (std * (rfn - 1))
         # W^T @ G: contract the tile axis
-        dF = jax.lax.dot_general(weights[r], G, (((0,), (0,)), ((), ())),
+        dF = jax.lax.dot_general(hat_weights(r), G, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dfeats_ref[r] = dfeats_ref[r] + dF
 

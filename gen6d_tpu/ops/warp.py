@@ -27,7 +27,8 @@ def warp_perspective(img, H, out_hw, fill_value=0.0):
 
     img: (h, w, c); H: (3, 3) forward homography (src -> dst); out_hw: (h, w).
     """
-    Hi = jnp.linalg.inv(H)
+    # barrier: keep the 3x3 inverse out of the per-pixel fused computation
+    Hi = jax.lax.optimization_barrier(jnp.linalg.inv(H))
     xs, ys = _dst_grid(out_hw)
     sx = Hi[0, 0] * xs + Hi[0, 1] * ys + Hi[0, 2]
     sy = Hi[1, 0] * xs + Hi[1, 1] * ys + Hi[1, 2]
@@ -48,7 +49,7 @@ def warp_affine(img, M, out_hw, fill_value=0.0):
     # invert the 2x3 affine
     A = M[:, :2]
     t = M[:, 2]
-    Ai = jnp.linalg.inv(A)
+    Ai = jax.lax.optimization_barrier(jnp.linalg.inv(A))
     ti = -Ai @ t
     xs, ys = _dst_grid(out_hw)
     sx = Ai[0, 0] * xs + Ai[0, 1] * ys + ti[0]

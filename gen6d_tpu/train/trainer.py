@@ -46,7 +46,11 @@ class Trainer:
     def __init__(self, cfg=None):
         self.cfg = {**DEFAULT_TRAIN_CFG, **(cfg or {})}
         net_name = self.cfg['network']
-        self.network = name2network[net_name](self.cfg.get('network_cfg'))
+        kwargs = {}
+        if net_name == 'refiner':
+            kwargs['grad_kernels'] = True  # custom-VJP Pallas kernels
+        self.network = name2network[net_name](self.cfg.get('network_cfg'),
+                                              **kwargs)
         self.model_dir = os.path.abspath(
             os.path.join(self.cfg['model_dir'], self.cfg['name']))
         os.makedirs(self.model_dir, exist_ok=True)
