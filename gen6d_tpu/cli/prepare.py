@@ -17,20 +17,34 @@ from gen6d_tpu.data import database as dbm
 from gen6d_tpu.pipeline.loader import load_estimator
 
 
-def run_sfm(image_dir, project_dir, colmap_path='colmap', same_camera=True):
+def run_sfm(image_dir, project_dir, colmap_path='colmap', same_camera=True,
+            pseudo_intrinsics=True):
     """COLMAP feature_extractor -> exhaustive_matcher -> mapper ->
     image_undistorter + patch_match_stereo + stereo_fusion
-    (reference colmap_script.py:13-106)."""
+    (reference colmap_script.py:13-106). ``pseudo_intrinsics`` pins the
+    camera to the reference's pseudo-K convention (f = image diagonal,
+    principal point at the center — colmap_script.py:71-87) instead of
+    pre-seeding a SQLite database."""
     project_dir = Path(project_dir)
     project_dir.mkdir(exist_ok=True, parents=True)
     db_path = project_dir / 'database.db'
     sparse_dir = project_dir / 'sparse'
     sparse_dir.mkdir(exist_ok=True)
+    extractor = [colmap_path, 'feature_extractor', '--database_path', str(db_path),
+                 '--image_path', str(image_dir),
+                 '--ImageReader.single_camera', '1' if same_camera else '0',
+                 '--ImageReader.camera_model', 'SIMPLE_RADIAL']
+    if pseudo_intrinsics:
+        import glob as _glob
+        from PIL import Image as _Image
+        fns = sorted(_glob.glob(str(Path(image_dir) / '*.jpg')))
+        if fns:
+            w, h = _Image.open(fns[0]).size
+            f = float(np.sqrt(h * h + w * w))
+            extractor += ['--ImageReader.camera_params',
+                          f'{f},{w / 2},{h / 2},0']
     cmds = [
-        [colmap_path, 'feature_extractor', '--database_path', str(db_path),
-         '--image_path', str(image_dir),
-         '--ImageReader.single_camera', '1' if same_camera else '0',
-         '--ImageReader.camera_model', 'SIMPLE_RADIAL'],
+        extractor,
         [colmap_path, 'exhaustive_matcher', '--database_path', str(db_path)],
         [colmap_path, 'mapper', '--database_path', str(db_path),
          '--image_path', str(image_dir), '--output_path', str(sparse_dir)],

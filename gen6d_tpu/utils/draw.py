@@ -89,6 +89,48 @@ def draw_bbox_3d(img, pts2d, color=(0, 0, 255)):
     return img
 
 
+def draw_keypoints(img, kps, colors=None, radius=3):
+    """Draw keypoints as filled disks (reference draw_utils.py draw_keypoints)."""
+    img = np.ascontiguousarray(img.copy())
+    h, w = img.shape[:2]
+    for i, (x, y) in enumerate(np.round(np.asarray(kps)).astype(int)):
+        color = ((0, 255, 0) if colors is None
+                 else tuple(int(c) for c in colors[i % len(colors)]))
+        y0, y1 = max(0, y - radius), min(h, y + radius + 1)
+        x0, x1 = max(0, x - radius), min(w, x + radius + 1)
+        if y0 < y1 and x0 < x1:
+            img[y0:y1, x0:x1] = color
+    return img
+
+
+def draw_correspondences(img0, img1, kps0, kps1, colors=None):
+    """Side-by-side keypoint correspondence visualization
+    (reference draw_utils.py draw_correspondence essentials)."""
+    vis = concat_images(draw_keypoints(img0, kps0, colors),
+                        draw_keypoints(img1, kps1, colors))
+    off = img0.shape[1]
+    for i, (p0, p1) in enumerate(zip(np.asarray(kps0), np.asarray(kps1))):
+        color = ((0, 255, 0) if colors is None
+                 else tuple(int(c) for c in colors[i % len(colors)]))
+        _draw_line(vis, p0, (p1[0] + off, p1[1]), color)
+    return vis
+
+
+def draw_epipolar_line(img, F, point, color=(255, 0, 0)):
+    """Draw the epipolar line of ``point`` under fundamental matrix F
+    (reference draw_utils.py epipolar helpers)."""
+    img = np.ascontiguousarray(img.copy())
+    h, w = img.shape[:2]
+    l = F @ np.array([point[0], point[1], 1.0])
+    if abs(l[1]) > 1e-8:
+        p0 = (0.0, -l[2] / l[1])
+        p1 = (w - 1.0, -(l[2] + l[0] * (w - 1)) / l[1])
+    else:
+        p0 = (-l[2] / l[0], 0.0)
+        p1 = (-l[2] / l[0], h - 1.0)
+    return _draw_line(img, p0, p1, color)
+
+
 def draw_pose_bbox(img, pose, K, object_pts, color=(0, 0, 255)):
     """Draw the object's 3D bbox under a pose (the eval.py visualization)."""
     max_pt = object_pts.max(0)
