@@ -295,13 +295,15 @@ class SyntheticTrainData:
                 pool['imgs'][ridx], None, pool['poses_norm'][ridx], pool['Ks'][ridx],
                 center, diameter, size, margin,
                 input_pose=input_pose, input_K=input_K)
-            return (que_img_warp, que_K_warp, input_pose, pose_sim, ref_crops,
-                    ref_poses_new, ref_Ks_new)
+            return (que_img_warp, que_K_warp, input_pose, pose_sim,
+                    que_pose_warp, ref_crops, ref_poses_new, ref_Ks_new)
 
-        (que_imgs, que_Ks_in, poses_in, poses_sim, ref_imgs, ref_poses,
-         ref_Ks) = jax.vmap(build_one)(vi, scale_aug, rot_aug, off_aug, pick)
+        (que_imgs, que_Ks_in, poses_in, poses_sim, poses_warp, ref_imgs,
+         ref_poses, ref_Ks) = jax.vmap(build_one)(vi, scale_aug, rot_aug,
+                                                  off_aug, pick)
         return {'que_imgs': que_imgs, 'que_Ks_in': que_Ks_in,
                 'que_poses_in': poses_in, 'ref_imgs': ref_imgs,
                 'ref_poses': ref_poses, 'ref_Ks': ref_Ks,
                 'object_center': jnp.zeros((qn, 3)),
-                'poses_sim_in_to_que': poses_sim}
+                'poses_sim_in_to_que': poses_sim,
+                'que_poses_warp': poses_warp}

@@ -45,6 +45,35 @@ def selection_metrics(logits_pr, scores_gt, angles_pr, angles_gt, gt_ref_ids):
     return out
 
 
+def refiner_pose_metrics(quat_pr, scale_pr, offset_pr, poses_in, Ks_in,
+                         poses_gt_warp, object_pts, diameter):
+    """Recompose predicted (quat, log2-scale, offset) into rigid poses and
+    score ADD-0.1d / Prj-5 against the warped GT poses (reference
+    RefinerMetrics, metrics.py:128-246). All in normalized-object units.
+
+    quat_pr: (qn,4); scale_pr: (qn,1); offset_pr: (qn,2); poses_in/Ks_in:
+    (qn,3,4)/(qn,3,3); poses_gt_warp: (qn,3,4). Returns dict of (qn,) arrays.
+    """
+    import jax
+    from gen6d_tpu.geometry.solvers import (compose_sim_pose,
+                                            pose_sim_to_pose_rigid)
+    from gen6d_tpu.geometry.metrics import pose_errors
+
+    center = jnp.zeros(3)
+
+    def recompose(quat, scale, offset, pose_in, K_in):
+        sim = compose_sim_pose(2.0 ** scale[0], quat, offset, pose_in, center)
+        return pose_sim_to_pose_rigid(sim, pose_in, K_in, K_in, center)
+
+    poses_pr = jax.vmap(recompose)(quat_pr, scale_pr, offset_pr, poses_in,
+                                   Ks_in)
+    prj, obj, _ = jax.vmap(pose_errors, in_axes=(None, 0, 0, 0))(
+        object_pts, poses_pr, poses_gt_warp, Ks_in)
+    return {'pose_add-0.1': (obj < 0.1 * diameter).astype(jnp.float32),
+            'pose_prj-5': (prj < 5.0).astype(jnp.float32),
+            'pose_obj_err': obj}
+
+
 def key_metric_mean_iou(results):
     """Detector best-checkpoint metric (metrics.py:258-259)."""
     return float(np.mean(results['iou']))

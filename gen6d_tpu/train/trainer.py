@@ -147,6 +147,11 @@ class Trainer:
                 return {k: jnp.mean(v) for k, v in m.items()}
             return run
 
+        object_pts = jnp.asarray(
+            (np.asarray(self.data.database.scene.point_cloud)
+             - np.asarray(self.data.center)) * (2.0 / self.data.diameter),
+            jnp.float32)
+
         @jax.jit
         def run(params, batch):
             from gen6d_tpu.geometry.pose import pose_apply
@@ -159,7 +164,15 @@ class Trainer:
                                 grids, batch['object_center'],
                                 batch['que_poses_in'],
                                 batch['poses_sim_in_to_que'])
-            return {'val_loss_pose': jnp.mean(loss)}
+            # full pose recomposition metrics (reference metrics.py:128-246)
+            pm = M.refiner_pose_metrics(out['rotation'], out['scale'],
+                                        out['offset'], batch['que_poses_in'],
+                                        batch['que_Ks_in'],
+                                        batch['que_poses_warp'], object_pts,
+                                        2.0)
+            res = {'val_loss_pose': jnp.mean(loss)}
+            res.update({k: jnp.mean(v) for k, v in pm.items()})
+            return res
         return run
 
     def validate(self, key):
@@ -182,6 +195,74 @@ class Trainer:
         if net == 'selector':
             return m, m['sel_acc_3'] + m['sel_ang_5']
         return m, -m['val_loss_pose']
+
+    # --------------------------------------------------------------- analyze
+    def analyze(self, n_batches=5, out_dir=None, restore_best=True):
+        """Debug visualization over validation batches (the reference Analyzer
+        trainer subclass + the metric classes' image dumps, trainer.py:211-257,
+        metrics.py:46-58,215-245): writes composite jpgs per batch."""
+        from PIL import Image
+        from gen6d_tpu.utils.draw import concat_images_list, draw_bbox
+        from gen6d_tpu.models.detector import parse_detection
+        out_dir = out_dir or os.path.join(self.model_dir, 'analyze')
+        os.makedirs(out_dir, exist_ok=True)
+        if restore_best:
+            best = os.path.join(self.model_dir, 'model_best')
+            if os.path.exists(best):
+                self.params = self.ckpt.restore(best, self.params)
+
+        net = self.cfg['network']
+        to_u8 = lambda x: np.clip(np.asarray(x) * 255, 0, 255).astype(np.uint8)
+        for bi in range(n_batches):
+            key = jax.random.PRNGKey(1000 + bi)
+            if net == 'detector':
+                batch = self.data.det_batch(key, qn=self.cfg['batch_size'])
+                out = jax.jit(self.network.apply)(self.params,
+                                                  batch['ref_imgs'],
+                                                  batch['que_imgs'])
+                pos, scl = parse_detection(out['scores'],
+                                           out['select_pr_scale'],
+                                           out['select_pr_offset'])
+                vis = []
+                for qi in range(batch['que_imgs'].shape[0]):
+                    img = to_u8(batch['que_imgs'][qi])
+                    s_gt = float(batch['scale_diff'][qi]) * 128
+                    c_gt = np.asarray(batch['cens'][qi])
+                    img = draw_bbox(img, [c_gt[0] - s_gt / 2, c_gt[1] - s_gt / 2,
+                                          s_gt, s_gt], (0, 255, 0))
+                    s_pr = float(scl[qi]) * 128
+                    c_pr = np.asarray(pos[qi])
+                    img = draw_bbox(img, [c_pr[0] - s_pr / 2, c_pr[1] - s_pr / 2,
+                                          s_pr, s_pr], (255, 0, 0))
+                    vis.append(img)
+                frame = concat_images_list(*vis)
+            elif net == 'selector':
+                batch = self.data.sel_batch(key, qn=self.cfg['batch_size'])
+                out = jax.jit(self.network.apply)(
+                    self.params, batch['ref_imgs'], batch['ref_poses'],
+                    batch['object_center'], batch['object_vert'],
+                    batch['que_imgs'])
+                order = np.argsort(-np.asarray(out['ref_vp_logits']), 1)
+                refs = np.asarray(batch['ref_imgs'])
+                an = refs.shape[0]
+                rows = []
+                for qi in range(batch['que_imgs'].shape[0]):
+                    row = [to_u8(batch['que_imgs'][qi])]
+                    row += [to_u8(refs[an // 2, r]) for r in order[qi, :5]]
+                    rows.append(concat_images_list(*row))
+                frame = concat_images_list(*rows, vert=True)
+            else:
+                batch = self.data.ref_batch(key,
+                                            qn=max(1, self.cfg['batch_size'] // 2))
+                rows = []
+                for qi in range(batch['que_imgs'].shape[0]):
+                    row = [to_u8(batch['que_imgs'][qi])]
+                    row += [to_u8(batch['ref_imgs'][qi, r])
+                            for r in range(min(5, batch['ref_imgs'].shape[1]))]
+                    rows.append(concat_images_list(*row))
+                frame = concat_images_list(*rows, vert=True)
+            Image.fromarray(frame).save(os.path.join(out_dir, f'{net}-{bi}.jpg'))
+        return out_dir
 
     # ------------------------------------------------------------------- run
     def run(self):
