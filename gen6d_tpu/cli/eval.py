@@ -89,7 +89,12 @@ def evaluate(cfg_path, object_name, split_type=None, symmetric=False,
             split_type = split_type or 'synthetic_split'
     ref_database = dbm.parse_database_name(ref_database_name)
     que_database = dbm.parse_database_name(que_database_name)
-    ref_split = 'all' if split_type != 'linemod_test' else split_type
+    # build references from the ref half of any split that defines one (the
+    # reference uses 'all' only for GenMOP where ref/test are separate
+    # sequences, eval.py:101-107); using 'all' for a same-database split would
+    # leak query views into the reference set
+    ref_split = split_type if split_type in ('linemod_test', 'linemod_val',
+                                             'synthetic_split') else 'all'
     _, que_ids = dbm.get_database_split(que_database, split_type)
     if max_queries:
         que_ids = que_ids[:max_queries]

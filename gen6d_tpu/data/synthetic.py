@@ -53,8 +53,13 @@ def look_at_pose(cam_pos, target=(0, 0, 0), up=(0, 0, 1)):
     return np.concatenate([R, t[:, None]], 1).astype(np.float32)
 
 
-def sphere_poses(n, dist, hemisphere=True, seed=0):
-    """n camera poses on a (hemi)sphere of radius dist via a Fibonacci lattice."""
+def sphere_poses(n, dist, hemisphere=True, seed=0, dist_jitter=0.0):
+    """n camera poses on a (hemi)sphere via a Fibonacci lattice.
+
+    ``dist_jitter`` > 0 scales each view's distance by a seeded uniform factor
+    in [1, 1+dist_jitter] — distance (= object scale) diversity like a real
+    handheld capture."""
+    rng = np.random.RandomState(seed + 17)
     poses = []
     golden = (1 + 5 ** 0.5) / 2
     for i in range(n):
@@ -62,7 +67,8 @@ def sphere_poses(n, dist, hemisphere=True, seed=0):
         z = zf if hemisphere else 2 * zf - 1
         r = np.sqrt(max(1 - z * z, 0.0))
         th = 2 * np.pi * i / golden
-        cam = np.array([r * np.cos(th), r * np.sin(th), z * 0.8 + 0.2]) * dist
+        d = dist * (1.0 + rng.uniform(0.0, dist_jitter))
+        cam = np.array([r * np.cos(th), r * np.sin(th), z * 0.8 + 0.2]) * d
         poses.append(look_at_pose(cam))
     return np.stack(poses, 0)
 
@@ -117,13 +123,17 @@ def cube_point_cloud(n=2048, cube_scale=1.0, seed=0):
 class SyntheticScene:
     """A full synthetic capture: n posed renderings of the textured cube."""
 
-    def __init__(self, n_views=96, hw=(480, 640), dist=3.0, cube_scale=1.0,
-                 f=520.0, seed=0):
+    def __init__(self, n_views=96, hw=(480, 640), dist=3.3, cube_scale=1.0,
+                 f=520.0, seed=0, dist_jitter=0.5):
+        # dist 3.3 x [1, 1.5]: the object projects to 2^[0.57, 1.17] x the
+        # 128px reference crop — inside the detector's 2^[-0.5, 1.2] training
+        # scale prior (reference train_dataset.py:438) with real diversity
         self.hw = hw
         self.cube_scale = cube_scale
         h, w = hw
         self.K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
-        self.poses = sphere_poses(n_views, dist, seed=seed)
+        self.poses = sphere_poses(n_views, dist, seed=seed,
+                                  dist_jitter=dist_jitter)
         self.seed = seed
         self._cache = {}
         self.point_cloud = cube_point_cloud(2048, cube_scale, seed)

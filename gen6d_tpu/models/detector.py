@@ -30,6 +30,18 @@ DEFAULT_DETECTOR_CFG: Dict[str, Any] = {
                        (829.70807, 387.98788)),
     'vgg_score_max': 10.0,
     'detection_scales': (-1.0, -0.5, 0.0, 0.5),
+    # train the VGG backbone (reference detector.py:142 'train_feats'; BN stays
+    # frozen either way). Required when no pretrained weights are available.
+    'train_feats': False,
+    # 'stats': the fixed constants above (they are statistics of the
+    # PRETRAINED backbone's correlation magnitudes — only meaningful with
+    # converted reference weights); 'adaptive': standardize each level by its
+    # own per-forward moments (stop-gradient), which is the same idea computed
+    # on the fly and works for any backbone.
+    'score_norm': 'stats',
+    # rematerialize the backbone in backward (jax.checkpoint): required to fit
+    # train_feats at 512^2 x 4 detection scales in a single chip's HBM
+    'remat': False,
 }
 
 POOL_RATIO = 8  # detector.py:155
@@ -56,6 +68,12 @@ class ConvHead(nn.Module):
             x.astype(jnp.float32))
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def correlate(que_feats, ref_feats, padding):
     """Correlation of query feature maps against per-view reference filters.
 
@@ -67,7 +85,16 @@ def correlate(que_feats, ref_feats, padding):
     direct lax.conv with the 15x15x512 reference kernel takes minutes to
     compile on the TPU backend; this formulation compiles in seconds and keeps
     all FLOPs on the MXU.
+
+    The op is bilinear, so it carries a custom VJP that re-slices the padded
+    inputs in backward instead of letting autodiff save one feature window per
+    scan step (225 x 34MB of residuals per level at train shapes — the
+    difference between fitting in HBM and a 7GB OOM with train_feats).
     """
+    return _correlate_fwd(que_feats, ref_feats, padding)[0]
+
+
+def _correlate_fwd(que_feats, ref_feats, padding):
     qn, h, w, f = que_feats.shape
     rfn, kh, kw, _ = ref_feats.shape
     p = padding
@@ -87,7 +114,51 @@ def correlate(que_feats, ref_feats, padding):
 
     init = jnp.zeros((qn, ho, wo, rfn), jnp.float32)
     out, _ = lax.scan(step, init, (jnp.arange(kh * kw), kernel), unroll=8)
-    return out
+    return out, (que_feats, ref_feats)
+
+
+def _correlate_bwd(padding, res, g):
+    """g: (qn,ho,wo,rfn) -> (dque (qn,h,w,f), dref (rfn,kh,kw,f)).
+
+    d/dque: every kernel offset scatters g @ ref_k^T back onto its window;
+    d/dref: per-offset einsum of the input window with g. Same scan-of-MXU-
+    matmuls shape as forward; O(que + g) memory.
+    """
+    que_feats, ref_feats = res
+    qn, h, w, f = que_feats.shape
+    rfn, kh, kw, _ = ref_feats.shape
+    p = padding
+    ho = h + 2 * p - kh + 1
+    wo = w + 2 * p - kw + 1
+    que_pad = jnp.pad(que_feats.astype(jnp.float32),
+                      ((0, 0), (p, p), (p, p), (0, 0)))
+    kernel = jnp.transpose(ref_feats, (1, 2, 3, 0)).reshape(kh * kw, f, rfn)
+    g = g.astype(jnp.float32)
+
+    def step(dq_pad, args):
+        k_idx, kmat = args
+        dy = k_idx // kw
+        dx = k_idx % kw
+        contrib = jnp.einsum('nhwr,fr->nhwf', g, kmat,
+                             preferred_element_type=jnp.float32)
+        cur = lax.dynamic_slice(dq_pad, (0, dy, dx, 0), (qn, ho, wo, f))
+        dq_pad = lax.dynamic_update_slice(dq_pad, cur + contrib,
+                                          (0, dy, dx, 0))
+        win = lax.dynamic_slice(que_pad, (0, dy, dx, 0), (qn, ho, wo, f))
+        dref_k = jnp.einsum('nhwf,nhwr->fr', win, g,
+                            preferred_element_type=jnp.float32)
+        return dq_pad, dref_k
+
+    dq_init = jnp.zeros((qn, h + 2 * p, w + 2 * p, f), jnp.float32)
+    dq_pad, dref_ks = lax.scan(step, dq_init, (jnp.arange(kh * kw), kernel),
+                               unroll=8)
+    dque = dq_pad[:, p:p + h, p:p + w, :].astype(que_feats.dtype)
+    dref = jnp.transpose(dref_ks.reshape(kh, kw, f, rfn),
+                         (3, 0, 1, 2)).astype(ref_feats.dtype)
+    return dque, dref
+
+
+correlate.defvjp(_correlate_fwd, _correlate_bwd)
 
 
 class Detector(nn.Module):
@@ -101,7 +172,8 @@ class Detector(nn.Module):
         return merged[key]
 
     def setup(self):
-        self.backbone = VGG11BN(outputs=('s8', 's16', 's32'),
+        vgg_cls = nn.remat(VGG11BN) if self._cfg('remat') else VGG11BN
+        self.backbone = vgg_cls(outputs=('s8', 's16', 's32'),
                                 dtype=self.dtype)
         # Conv3d 1x1x1 fusion == Dense over the scale*level channel axis
         self.score_conv0 = nn.Dense(64, dtype=self.dtype)
@@ -111,10 +183,13 @@ class Detector(nn.Module):
         self.offset_predict = ConvHead(2, dtype=self.dtype)
 
     def extract_feats(self, imgs):
-        """imgs: (n,h,w,3) in [0,1] -> (s8, s16, s32) feats (frozen backbone)."""
+        """imgs: (n,h,w,3) in [0,1] -> (s8, s16, s32) feats. Frozen unless
+        cfg['train_feats'] (reference detector.py:142,183-197)."""
         # ImageNet normalization is folded into the backbone's first conv
         # (models/vgg.py:fold_imagenet_normalization)
         x0, x1, x2 = self.backbone(imgs)
+        if self._cfg('train_feats'):
+            return x0, x1, x2
         return lax.stop_gradient(x0), lax.stop_gradient(x1), lax.stop_gradient(x2)
 
     def load_ref(self, ref_imgs):
@@ -133,11 +208,22 @@ class Detector(nn.Module):
         s0 = correlate(que_x0, ref_x0, 7)
         s2 = upsample_nearest(s2, 4)
         s1 = upsample_nearest(s1, 2)
-        stats = self._cfg('vgg_score_stats')
         smax = self._cfg('vgg_score_max')
         out = []
-        for s, (mu, sd) in zip((s0, s1, s2), stats):
-            out.append(jnp.clip((s.astype(jnp.float32) - mu) / sd, -smax, smax))
+        if self._cfg('score_norm') == 'adaptive':
+            # standardize each level by its own per-forward moments: the fixed
+            # vgg_score_stats are exactly such moments precomputed from the
+            # pretrained backbone; computed live they work for any backbone
+            for s in (s0, s1, s2):
+                sf = s.astype(jnp.float32)
+                mu = lax.stop_gradient(jnp.mean(sf))
+                sd = lax.stop_gradient(jnp.std(sf) + 1e-6)
+                out.append(jnp.clip((sf - mu) / sd, -smax, smax))
+        else:
+            stats = self._cfg('vgg_score_stats')
+            for s, (mu, sd) in zip((s0, s1, s2), stats):
+                out.append(jnp.clip((s.astype(jnp.float32) - mu) / sd, -smax,
+                                    smax))
         return jnp.stack(out, -1)  # qn, h/8, w/8, rfn, 3
 
     def detect(self, que_imgs, ref_feats):

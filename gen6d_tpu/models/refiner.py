@@ -33,17 +33,20 @@ def _in3d(x):
 
 class RefineFeatureNet(nn.Module):
     """Frozen VGG (strides 4/8/16) + trainable fusion -> 128-ch feats at 1/4
-    (refiner.py:16-78)."""
+    (refiner.py:16-78). ``train_feats`` unfreezes the VGG (needed for
+    from-scratch training — no pretrained weights in this environment)."""
     dtype: object = None
+    train_feats: bool = False
 
     @nn.compact
     def __call__(self, imgs):
         # ImageNet normalization is folded into the backbone's first conv
         x0, x1, x2 = VGG11BN(outputs=('s4', 's8', 's16'), name='backbone',
                              dtype=self.dtype)(imgs)
-        x0 = lax.stop_gradient(l2_normalize(x0, -1))
-        x1 = lax.stop_gradient(l2_normalize(x1, -1))
-        x2 = lax.stop_gradient(l2_normalize(x2, -1))
+        sg = (lambda x: x) if self.train_feats else lax.stop_gradient
+        x0 = sg(l2_normalize(x0, -1))
+        x1 = sg(l2_normalize(x1, -1))
+        x2 = sg(l2_normalize(x2, -1))
 
         def block(x, mid, name):
             x = nn.Conv(mid, (3, 3), padding=1, name=f'{name}_0',
@@ -143,7 +146,9 @@ class VolumeRefiner(nn.Module):
         return (self.cfg or {}).get('refiner_sample_num', 32)
 
     def setup(self):
-        self.feature_net = RefineFeatureNet(dtype=self.dtype)
+        self.feature_net = RefineFeatureNet(
+            dtype=self.dtype,
+            train_feats=(self.cfg or {}).get('train_feats', False))
         self.volume_net = RefineVolumeEncodingNet(dtype=self.dtype)
         self.regressor = RefineRegressor()
 

@@ -141,10 +141,13 @@ class ViewpointSelector(nn.Module):
         self.vp_enc2 = nn.Dense(512)
 
     def get_feats(self, imgs):
-        """imgs (n,h,w,3) [0,1] -> 3 L2-normalized frozen pyramid feats
-        (selector.py:113-119)."""
+        """imgs (n,h,w,3) [0,1] -> 3 L2-normalized pyramid feats
+        (selector.py:113-119). Frozen unless cfg['train_feats'] (needed for
+        from-scratch training — no pretrained weights in this environment)."""
         # ImageNet normalization is folded into the backbone's first conv
         feats = self.backbone(imgs)
+        if (self.cfg or {}).get('train_feats', False):
+            return tuple(l2_normalize(f, axis=-1) for f in feats)
         return tuple(lax.stop_gradient(l2_normalize(f, axis=-1)) for f in feats)
 
     def encode_viewpoints(self, ref_poses, object_center, object_vert,

@@ -128,10 +128,9 @@ class SyntheticTrainData:
     def _det_batch_impl(self, key, pool, qn, que_size):
         keys = jax.random.split(key, 6)
         vi = jax.random.randint(keys[0], (qn,), 0, pool['imgs'].shape[0])
-        # reference range is [-0.5, 1.2] (train_dataset.py:438); widened to
-        # cover the synthetic eval operating point (object ~2.5x ref crop)
-        scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=0.0,
-                                              maxval=1.5)
+        # scale prior 2^[-0.5, 1.2] (reference train_dataset.py:438)
+        scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=-0.5,
+                                              maxval=1.2)
         rot_aug = jnp.deg2rad(jax.random.uniform(keys[2], (qn,), minval=-22.5,
                                                  maxval=22.5))
         # keep the (augmented) object inside the query image

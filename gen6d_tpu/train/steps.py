@@ -18,6 +18,17 @@ def _sum_losses(metrics):
     return sum(jnp.mean(v) for k, v in metrics.items() if k.startswith('loss'))
 
 
+def _freeze_bn_grads(grads):
+    """Zero gradients on FrozenBatchNorm parameters ('bn' subtrees): the
+    reference disables BN grads even in train_feats mode (detector.py:123-128,
+    146-150). A no-op when the backbone is frozen (grads already zero)."""
+    def walk(tree, in_bn=False):
+        if isinstance(tree, dict):
+            return {k: walk(v, in_bn or k == 'bn') for k, v in tree.items()}
+        return jnp.zeros_like(tree) if in_bn else tree
+    return walk(grads) if isinstance(grads, dict) else grads
+
+
 def make_detector_train_step(detector, optimizer, jit_kwargs=None):
     def loss_fn(params, batch):
         out = detector.apply(params, batch['ref_imgs'], batch['que_imgs'])
@@ -33,6 +44,7 @@ def make_detector_train_step(detector, optimizer, jit_kwargs=None):
     def step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
+        grads = _freeze_bn_grads(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {k: jnp.mean(v) for k, v in metrics.items()}
@@ -56,6 +68,7 @@ def make_selector_train_step(selector, optimizer, jit_kwargs=None):
     def step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
+        grads = _freeze_bn_grads(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {k: jnp.mean(v) for k, v in metrics.items()}
@@ -82,6 +95,7 @@ def make_refiner_train_step(refiner, optimizer, jit_kwargs=None):
     def step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
+        grads = _freeze_bn_grads(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {k: jnp.mean(v) for k, v in metrics.items()}

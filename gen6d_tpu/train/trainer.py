@@ -39,6 +39,9 @@ DEFAULT_TRAIN_CFG = {
     'batch_size': 4,
     'model_dir': 'data/model',
     'dataset': {'n_views': 96, 'seed': 0},
+    # computation dtype for the networks during training ('bfloat16' halves
+    # activation memory on TPU; params/optimizer stay f32)
+    'dtype': None,
 }
 
 
@@ -49,6 +52,8 @@ class Trainer:
         kwargs = {}
         if net_name == 'refiner':
             kwargs['grad_kernels'] = True  # custom-VJP Pallas kernels
+        if self.cfg.get('dtype') == 'bfloat16':
+            kwargs['dtype'] = jnp.bfloat16
         self.network = name2network[net_name](self.cfg.get('network_cfg'),
                                               **kwargs)
         self.model_dir = os.path.abspath(
