@@ -309,17 +309,26 @@ class CustomDatabase(BaseDatabase):
 
 
 class SyntheticDatabase(BaseDatabase):
-    """Procedural textured-cube captures (tests/benchmarks). Name format:
-    ``synthetic/<n_views>`` or ``synthetic/<n_views>@<seed>``."""
+    """Procedural textured-solid captures (tests/benchmarks/training pool).
+    Name format: ``synthetic/<n_views>[@<seed>][:<shape>[-<texture>]]``,
+    e.g. ``synthetic/64``, ``synthetic/96@3:ico-stripes``. Shapes/textures:
+    gen6d_tpu.data.synthetic.SHAPES / TEXTURES."""
 
     def __init__(self, database_name):
         super().__init__(database_name)
         spec = database_name.split('/')[1]
-        seed = 0
+        shape, texture, seed = 'cube', 'checks', 0
+        if ':' in spec:
+            spec, obj = spec.split(':')
+            if '-' in obj:
+                shape, texture = obj.split('-')
+            else:
+                shape = obj
         if '@' in spec:
             spec, seed = spec.split('@')
             seed = int(seed)
-        self.scene = SyntheticScene(n_views=int(spec), seed=seed)
+        self.scene = SyntheticScene(n_views=int(spec), seed=seed, shape=shape,
+                                    texture=texture)
         self.img_ids = [str(k) for k in range(len(self.scene.poses))]
 
     def get_image(self, img_id):

@@ -2,14 +2,16 @@
 
 TPU-first redesign of the reference's DataLoader datasets
 (dataset/train_dataset.py): instead of cv2 warps in CPU worker processes, the
-raw posed views are staged on device ONCE and every batch is built by a jitted
-program of homography warps + compositing — an on-device augmentation pipeline.
-The GT label math matches the reference:
+raw posed views of a MULTI-OBJECT scene pool are staged on device ONCE (uint8)
+and every batch is built by a jitted program of homography warps, background
+compositing, distractor pasting and photometric augmentation — an on-device
+augmentation pipeline. The GT label math matches the reference:
 
-- detection: query = look-at warp of a random view with scale/rotation/offset
-  augmentation onto a random background; GT center via the warp, GT scale from
-  the camera-derived similarity (train_dataset.py:599-656 via
-  scale_rotation_difference_from_cameras);
+- detection: query = look-at warp of a random view with scale 2^[-0.5,1.2] /
+  rotation +-22.5deg / offset augmentation (train_dataset.py:432-724),
+  composited over procedural backgrounds with distractor objects pasted in
+  (:374-408,580-597); GT center via the warp, GT scale from the camera-derived
+  similarity (:599-656);
 - selection: query crops with in-plane rotation/scale augmentation; GT view
   scores = normalized view correlations; GT angle from the camera similarity
   (train_dataset.py:914-988);
@@ -17,12 +19,13 @@ The GT label math matches the reference:
   pose with scale/rot/offset noise, GT similarity transform via
   approximate_rigid_to_similarity (train_dataset.py:1185-1355).
 
-Synthetic scenes only in this round (no GSO/ShapeNet/CO3D data ships with the
-environment); the builders take any BaseDatabase, so real databases plug in
-unchanged.
+The scene pool is the multi-dataset sampling machinery
+(train_dataset.py:240-258): each batch samples one scene uniformly; the
+default train/val/eval scene lists are DISJOINT (shape, texture) combinations,
+so evaluation runs on never-seen objects — the GSO/ShapeNet stand-in
+(reference dataset/database.py:412-665). Real databases plug in unchanged via
+``scenes=[database names]``.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +41,14 @@ from gen6d_tpu.geometry.rotations import rot_z
 from gen6d_tpu.geometry.solvers import (approximate_rigid_to_similarity,
                                         scale_rotation_difference_from_cameras)
 from gen6d_tpu.ops.warp import warp_perspective
+from gen6d_tpu.train.augment import octave_background, photometric_aug
+
+# disjoint (shape, texture) pools: eval objects are never seen in training
+DEFAULT_TRAIN_SCENES = ('cuboid-checks@1', 'oct-stripes@2', 'prism-noise@3',
+                        'ico-blobs@4', 'tet-checks@5', 'slab-stripes@6',
+                        'cube-stripes@7', 'cuboid-noise@8')
+DEFAULT_VAL_SCENES = ('prism-blobs@9',)
+# held-out eval object: synthetic/<n> = cube-checks@0 (combo absent above)
 
 
 def _make_K(f, size):
@@ -51,176 +62,321 @@ def _make_K(f, size):
 
 
 class SyntheticTrainData:
-    """Stages a posed-view pool on device and builds batches with jitted warps."""
+    """Stages a posed-view scene pool on device and builds augmented batches
+    with jitted warps.
 
-    def __init__(self, database=None, n_views=96, ref_num=32, size=128,
-                 margin=0.05, seed=0):
-        if database is None:
-            database = dbm.parse_database_name(f'synthetic/{n_views}@{seed}')
-        self.database = database
+    ``scenes``: list of database names (or BaseDatabase objects); every scene
+    must share image size and view count. ``augment``/``distractors`` gate the
+    photometric bank / distractor pasting (off for val-style clean batches).
+    """
+
+    def __init__(self, database=None, n_views=64, ref_num=32, size=128,
+                 margin=0.05, seed=0, scenes=None, augment=True,
+                 distractors=True):
+        if database is not None:
+            dbs = [database]
+        else:
+            if scenes is None:
+                scenes = DEFAULT_TRAIN_SCENES
+            dbs = []
+            for s in scenes:
+                if isinstance(s, dbm.BaseDatabase):
+                    dbs.append(s)
+                    continue
+                if '/' not in s:
+                    # shorthand '<shape>-<texture>@<seed>' -> synthetic scene
+                    # with this pool's view count
+                    obj, _, seed_s = s.partition('@')
+                    s = f'synthetic/{n_views}' + \
+                        (f'@{seed_s}' if seed_s else '') + f':{obj}'
+                dbs.append(dbm.parse_database_name(s))
+        self.databases = dbs
+        self.database = dbs[0]  # back-compat (single-scene callers)
         self.size = size
         self.margin = margin
-        self.center = jnp.asarray(dbm.get_object_center(database), jnp.float32)
-        self.vert = jnp.asarray(dbm.get_object_vert(database), jnp.float32)
-        self.diameter = float(dbm.get_diameter(database))
+        self.augment = augment
+        self.distractors = distractors
 
-        ids = database.get_img_ids()
-        imgs, masks, poses, Ks = rp.gather_images(database, ids)
-        self.imgs = jnp.asarray(imgs)
-        self.masks = jnp.asarray(masks)
-        self.poses = jnp.asarray(poses)
-        self.Ks = jnp.asarray(Ks)
+        pools = []
+        for db in dbs:
+            pools.append(self._stage_scene(db, ref_num, size, margin))
+        # stack along a leading scene axis
+        self.pool = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *pools)
+        # back-compat single-scene attributes (tests, trainer val metrics)
+        self.center = self.pool['center'][0]
+        self.vert = self.pool['vert'][0]
+        self.diameter = float(self.pool['diameter'][0])
+        self._jits = {}
 
-        # fixed reference set (fps), normalized crops — shared by det/sel
-        ref_ids = rp.select_reference_img_ids_fps(database, ids, ref_num)
-        ridx = np.asarray([ids.index(i) for i in ref_ids])
-        self.ref_idx = jnp.asarray(ridx)
+    def _stage_scene(self, db, ref_num, size, margin):
+        center = np.asarray(dbm.get_object_center(db), np.float32)
+        vert = np.asarray(dbm.get_object_vert(db), np.float32)
+        diameter = float(dbm.get_diameter(db))
+        ids = db.get_img_ids()
+        imgs, masks, poses, Ks = rp.gather_images(db, ids)
+        imgs_u8 = jnp.asarray((imgs * 255).astype(np.uint8))
+        masks_u8 = jnp.asarray(masks.astype(np.uint8))
+        poses = jnp.asarray(poses)
+        Ks = jnp.asarray(Ks)
+
+        ref_ids = rp.select_reference_img_ids_fps(db, ids, ref_num)
+        ridx = jnp.asarray([ids.index(i) for i in ref_ids])
 
         @jax.jit
-        def build_refs(imgs, masks, poses, Ks):
+        def build_refs(imgs, masks, poses, Ks, center, vert, diameter):
             return normalize_reference_views_device(
-                imgs, masks, poses, Ks, self.center, self.diameter, size,
-                margin, object_vert=self.vert)
+                imgs, masks, poses, Ks, center, diameter, size, margin,
+                object_vert=vert)
 
-        (self.ref_crops, self.ref_crop_masks, self.ref_Ks_new,
-         self.ref_poses_new, self.ref_Hs) = build_refs(
-            self.imgs[self.ref_idx], self.masks[self.ref_idx],
-            self.poses[self.ref_idx], self.Ks[self.ref_idx])
+        ref_crops, ref_crop_masks, ref_Ks_new, ref_poses_new, _ = build_refs(
+            jnp.asarray(imgs[np.asarray(ridx)]),
+            jnp.asarray(masks[np.asarray(ridx)]),
+            poses[ridx], Ks[ridx], jnp.asarray(center), jnp.asarray(vert),
+            diameter)
 
         # refiner batches work in NormalizedDatabase units (object scaled to
         # the unit sphere: diameter 2, center 0) exactly like the reference
         # (train_dataset.py:1445-1446) and like inference (refiner.py:289-290)
         from gen6d_tpu.geometry.pose import normalize_pose
-        self.norm_scale = 2.0 / self.diameter
-        self.norm_offset = -self.norm_scale * np.asarray(self.center)
+        norm_scale = 2.0 / diameter
+        norm_offset = -norm_scale * center
         poses_norm = jax.vmap(normalize_pose, in_axes=(0, None, None))(
-            self.poses, self.norm_scale, jnp.asarray(self.norm_offset))
+            poses, norm_scale, jnp.asarray(norm_offset))
 
-        # the staged arrays, passed as ARGS to the jitted batch builders (NOT
-        # closed over: a static `self` embeds them as HLO constants and the
-        # 96-view pool alone is ~354MB -> remote-compile upload rejected)
-        self.pool = {'imgs': self.imgs, 'masks': self.masks,
-                     'poses': self.poses, 'Ks': self.Ks,
-                     'poses_norm': poses_norm,
-                     'ref_crops': self.ref_crops,
-                     'ref_poses_new': self.ref_poses_new,
-                     'ref_Ks_new': self.ref_Ks_new,
-                     'ref_idx': self.ref_idx}
-        self._jits = {}
+        return {'imgs': imgs_u8, 'masks': masks_u8, 'poses': poses, 'Ks': Ks,
+                'poses_norm': poses_norm, 'ref_crops': ref_crops,
+                'ref_crop_masks': ref_crop_masks,
+                'ref_poses_new': ref_poses_new, 'ref_Ks_new': ref_Ks_new,
+                'ref_idx': ridx, 'center': jnp.asarray(center),
+                'vert': jnp.asarray(vert),
+                'diameter': jnp.asarray(diameter, jnp.float32)}
 
     def _jit(self, name, fn, static):
         if name not in self._jits:
             self._jits[name] = jax.jit(fn, static_argnums=static)
         return self._jits[name]
 
+    @staticmethod
+    def _to_f32(u8):
+        return u8.astype(jnp.float32) / 255.0
+
+    def _rand_scene(self, key):
+        return jax.random.randint(key, (), 0, self.pool['imgs'].shape[0])
+
+    def _randomize_ref_bg(self, key, ref_crops, ref_masks, p=0.5):
+        """Composite reference crops over procedural backgrounds with prob p
+        (the reference composites synthetic-data refs onto COCO backgrounds,
+        train_dataset.py:293-349)."""
+        rfn, s = ref_crops.shape[0], ref_crops.shape[1]
+        k1, k2 = jax.random.split(key)
+        bg = octave_background(k1, rfn, s)
+        on = (jax.random.uniform(k2, (rfn, 1, 1, 1)) < p).astype(jnp.float32)
+        m = ref_masks[..., None]
+        comp = ref_crops * m + bg * (1 - m)
+        return (1 - on) * ref_crops + on * comp
+
     # -------------------------------------------------------------- detection
     def det_batch(self, key, qn=4, que_size=512):
         """-> {'ref_imgs', 'que_imgs', 'cens', 'scale_diff'} (detector step).
 
-        Query = look-at warp of a random raw view: base scale fills the crop
-        like a reference view, then scale aug 2^[-0.5,1.2], rotation aug
-        +-22.5deg, random center offset; composited onto a random-color
-        background (train_dataset.py:432-597 semantics, device-side).
+        Query = look-at warp of a random view of a random scene: base scale
+        fills the crop like a reference view, then scale aug 2^[-0.5,1.2],
+        rotation aug +-22.5deg, random center offset; composited over a
+        procedural background with distractor objects pasted under (and
+        occasionally partially over) the target
+        (train_dataset.py:432-597 semantics, device-side).
         """
         fn = self._jit('det', self._det_batch_impl, static=(2, 3))
         return fn(key, self.pool, qn, que_size)
 
+    def _warp_view_to_canvas(self, img, mask, pose, K, center, diameter,
+                             s_aug, r_aug, off, que_size):
+        """Look-at warp of one raw view onto a que_size canvas: the object is
+        centered at ``off`` with size s_aug x (reference crop size)."""
+        cen, _ = project_points(center[None], pose, K)
+        dist = jnp.linalg.norm(camera_position(pose) - center)
+        _, f_look = let_me_look_at(pose, K, center)
+        f_new = self.size * (1 - self.margin) / diameter * dist
+        base_scale = f_new / f_look
+        H, K_new, pose_new, _ = look_at_crop_transform(
+            K, pose, cen[0], r_aug, base_scale * s_aug, que_size, que_size)
+        shift = jnp.eye(3).at[:2, 2].set(off - que_size / 2.0)
+        H = shift @ H
+        K_new = shift @ K_new
+        img_w = warp_perspective(img, H, (que_size, que_size))
+        mask_w = warp_perspective(mask[..., None], H, (que_size, que_size))
+        return img_w, mask_w, K_new, pose_new
+
     def _det_batch_impl(self, key, pool, qn, que_size):
-        keys = jax.random.split(key, 6)
-        vi = jax.random.randint(keys[0], (qn,), 0, pool['imgs'].shape[0])
+        keys = jax.random.split(key, 12)
+        si = self._rand_scene(keys[0])
+        center = pool['center'][si]
+        vi = jax.random.randint(keys[1], (qn,), 0, pool['imgs'].shape[1])
         # scale prior 2^[-0.5, 1.2] (reference train_dataset.py:438)
-        scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=-0.5,
+        scale_aug = 2.0 ** jax.random.uniform(keys[2], (qn,), minval=-0.5,
                                               maxval=1.2)
-        rot_aug = jnp.deg2rad(jax.random.uniform(keys[2], (qn,), minval=-22.5,
+        rot_aug = jnp.deg2rad(jax.random.uniform(keys[3], (qn,), minval=-22.5,
                                                  maxval=22.5))
         # keep the (augmented) object inside the query image
-        off_aug = jax.random.uniform(keys[3], (qn, 2), minval=0.25 * que_size,
-                                     maxval=0.75 * que_size)
-        bg = jax.random.uniform(keys[4], (qn, 1, 1, 3))
+        off_aug = jax.random.uniform(keys[4], (qn, 2), minval=0.2 * que_size,
+                                     maxval=0.8 * que_size)
 
-        def build_one(img, mask, pose, K, s_aug, r_aug, off):
-            cen, _ = project_points(self.center[None], pose, K)
-            dist = jnp.linalg.norm(camera_position(pose) - self.center)
-            _, f_look = let_me_look_at(pose, K, self.center)
-            f_new = self.size * (1 - self.margin) / self.diameter * dist
-            base_scale = f_new / f_look
-            H, K_new, pose_new, _ = look_at_crop_transform(
-                K, pose, cen[0], r_aug, base_scale * s_aug, que_size, que_size)
-            # shift the principal point so the object lands at `off`
-            shift = jnp.eye(3).at[:2, 2].set(off - que_size / 2.0)
-            H = shift @ H
-            K_new = shift @ K_new
-            img_w = warp_perspective(img, H, (que_size, que_size))
-            mask_w = warp_perspective(mask[..., None], H, (que_size, que_size))
-            return img_w, mask_w, K_new, pose_new, off
+        imgs = self._to_f32(pool['imgs'][si, vi])
+        masks = self._to_f32(pool['masks'][si, vi] * 255)
 
-        img_w, mask_w, K_new, pose_new, cens = jax.vmap(build_one)(
-            pool['imgs'][vi], pool['masks'][vi], pool['poses'][vi],
-            pool['Ks'][vi], scale_aug, rot_aug, off_aug)
+        img_w, mask_w, K_new, pose_new = jax.vmap(
+            self._warp_view_to_canvas,
+            in_axes=(0, 0, 0, 0, None, None, 0, 0, 0, None))(
+            imgs, masks, pool['poses'][si, vi], pool['Ks'][si, vi], center,
+            pool['diameter'][si], scale_aug, rot_aug, off_aug, que_size)
+
+        if self.augment:
+            bg = octave_background(keys[5], qn, que_size)
+        else:
+            # clean val batches: flat background like the synthetic renders
+            bg = jnp.full((qn, que_size, que_size, 3), 90.0 / 255.0)
+
+        if self.distractors:
+            # two distractors under the target + one partial occluder over it
+            # (reference train_dataset.py:374-408,580-597)
+            nd = 3
+            dks = jax.random.split(keys[6], 5)
+            dsi = jax.random.randint(dks[0], (qn, nd), 0,
+                                     pool['imgs'].shape[0])
+            dvi = jax.random.randint(dks[1], (qn, nd), 0,
+                                     pool['imgs'].shape[1])
+            d_scale = 2.0 ** jax.random.uniform(dks[2], (qn, nd), minval=-0.8,
+                                                maxval=0.6)
+            d_rot = jax.random.uniform(dks[3], (qn, nd), minval=-jnp.pi,
+                                       maxval=jnp.pi)
+            d_off = jax.random.uniform(dks[4], (qn, nd, 2),
+                                       minval=0.05 * que_size,
+                                       maxval=0.95 * que_size)
+            d_imgs = self._to_f32(pool['imgs'][dsi, dvi])
+            d_masks = self._to_f32(pool['masks'][dsi, dvi] * 255)
+
+            def warp_d(img, mask, pose, K, c, diam, s, r, o):
+                return self._warp_view_to_canvas(img, mask, pose, K, c, diam,
+                                                 s, r, o, que_size)[:2]
+
+            d_img_w, d_mask_w = jax.vmap(jax.vmap(
+                warp_d, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0)))(
+                d_imgs, d_masks, pool['poses'][dsi, dvi], pool['Ks'][dsi, dvi],
+                pool['center'][dsi], pool['diameter'][dsi], d_scale, d_rot,
+                d_off)
+
+            # under-distractors (0,1): painter-composite onto the background
+            for di in range(nd - 1):
+                m = d_mask_w[:, di]
+                bg = d_img_w[:, di] * m + bg * (1 - m)
+            # over-distractor (2): mask zeroed near the GT center so the
+            # object stays detectable (partial occlusion)
+            yy, xx = jnp.meshgrid(jnp.arange(que_size, dtype=jnp.float32),
+                                  jnp.arange(que_size, dtype=jnp.float32),
+                                  indexing='ij')
+            grid = jnp.stack([xx, yy], -1)  # (h,w,2) as (x,y)
+            dist_cen = jnp.linalg.norm(grid[None] - off_aug[:, None, None, :],
+                                       axis=-1)
+            # protect a disk around the GT center (the occluder may clip the
+            # object's edges but never hide its center)
+            protect = (dist_cen > 0.12 * que_size * scale_aug[:, None, None])
+            m_top = d_mask_w[:, nd - 1] * protect[..., None]
+        else:
+            m_top = None
+
         que_imgs = img_w * mask_w + bg * (1 - mask_w)
+        if m_top is not None:
+            que_imgs = d_img_w[:, -1] * m_top + que_imgs * (1 - m_top)
+        if self.augment:
+            que_imgs = photometric_aug(keys[7], que_imgs)
+
+        ref_imgs = pool['ref_crops'][si]
+        if self.augment:
+            ref_imgs = self._randomize_ref_bg(keys[8], ref_imgs,
+                                              pool['ref_crop_masks'][si])
 
         # GT scale: camera similarity from the normalized ref convention to the
         # augmented query (que_ref_scale_rotation_from_poses semantics)
-        corr = view_correlation(pose_new, pool['ref_poses_new'], self.center)
+        ref_poses_new = pool['ref_poses_new'][si]
+        ref_Ks_new = pool['ref_Ks_new'][si]
+        corr = view_correlation(pose_new, ref_poses_new, center)
         gt_ref = jnp.argmax(corr, 1)
         scale_diff, _ = scale_rotation_difference_from_cameras(
-            pool['ref_poses_new'][gt_ref], pose_new, pool['ref_Ks_new'][gt_ref],
-            K_new, self.center)
-        return {'ref_imgs': pool['ref_crops'], 'que_imgs': que_imgs,
-                'cens': cens, 'scale_diff': scale_diff}
+            ref_poses_new[gt_ref], pose_new, ref_Ks_new[gt_ref],
+            K_new, center)
+        return {'ref_imgs': ref_imgs, 'que_imgs': que_imgs,
+                'cens': off_aug, 'scale_diff': scale_diff}
 
     # -------------------------------------------------------------- selection
     def sel_batch(self, key, qn=4):
         """-> selector train-step batch. Query crops around the object with
-        scale 2^[-0.3,0.3] and in-plane rotation +-90deg augmentation; GT view
-        scores = view correlations, GT angle from the camera similarity
-        (train_dataset.py:810-1061 semantics)."""
+        scale 2^[-0.3,0.3] and in-plane rotation +-90deg augmentation over
+        procedural backgrounds; GT view scores = view correlations, GT angle
+        from the camera similarity (train_dataset.py:810-1061 semantics)."""
         fn = self._jit('sel', self._sel_batch_impl, static=(2,))
         return fn(key, self.pool, qn)
 
     def _sel_batch_impl(self, key, pool, qn):
-        keys = jax.random.split(key, 4)
-        vi = jax.random.randint(keys[0], (qn,), 0, pool['imgs'].shape[0])
-        scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=-0.3,
+        keys = jax.random.split(key, 8)
+        si = self._rand_scene(keys[0])
+        center = pool['center'][si]
+        vert = pool['vert'][si]
+        diameter = pool['diameter'][si]
+        vi = jax.random.randint(keys[1], (qn,), 0, pool['imgs'].shape[1])
+        scale_aug = 2.0 ** jax.random.uniform(keys[2], (qn,), minval=-0.3,
                                               maxval=0.3)
-        rot_aug = jax.random.uniform(keys[2], (qn,), minval=-jnp.pi / 2,
+        rot_aug = jax.random.uniform(keys[3], (qn,), minval=-jnp.pi / 2,
                                      maxval=jnp.pi / 2)
 
-        def build_one(img, pose, K, s_aug, r_aug):
-            cen, _ = project_points(self.center[None], pose, K)
-            dist = jnp.linalg.norm(camera_position(pose) - self.center)
-            _, f_look = let_me_look_at(pose, K, self.center)
-            f_new = self.size * (1 - self.margin) / self.diameter * dist
+        def build_one(img, mask, pose, K, s_aug, r_aug):
+            cen, _ = project_points(center[None], pose, K)
+            dist = jnp.linalg.norm(camera_position(pose) - center)
+            _, f_look = let_me_look_at(pose, K, center)
+            f_new = self.size * (1 - self.margin) / diameter * dist
             base_scale = f_new / f_look
             H, K_new, pose_new, _ = look_at_crop_transform(
-                K, pose, cen[0], r_aug, base_scale * s_aug, self.size, self.size)
-            return warp_perspective(img, H, (self.size, self.size)), K_new, pose_new
+                K, pose, cen[0], r_aug, base_scale * s_aug, self.size,
+                self.size)
+            img_w = warp_perspective(img, H, (self.size, self.size))
+            mask_w = warp_perspective(mask[..., None], H,
+                                      (self.size, self.size))
+            return img_w, mask_w, K_new, pose_new
 
-        que_imgs, que_Ks, que_poses = jax.vmap(build_one)(
-            pool['imgs'][vi], pool['poses'][vi], pool['Ks'][vi], scale_aug,
+        imgs = self._to_f32(pool['imgs'][si, vi])
+        masks = self._to_f32(pool['masks'][si, vi] * 255)
+        que_imgs, que_masks, que_Ks, que_poses = jax.vmap(build_one)(
+            imgs, masks, pool['poses'][si, vi], pool['Ks'][si, vi], scale_aug,
             rot_aug)
+
+        if self.augment:
+            bg = octave_background(keys[4], qn, self.size)
+            que_imgs = que_imgs * que_masks + bg * (1 - que_masks)
+            que_imgs = photometric_aug(keys[5], que_imgs)
 
         # rotated reference copies (an=5) — the selector's ref bank
         angles = jnp.asarray([-jnp.pi / 2, -jnp.pi / 4, 0.0, jnp.pi / 4,
                               jnp.pi / 2])
+        ridx = pool['ref_idx'][si]
+        ref_raw = self._to_f32(pool['imgs'][si, ridx])
 
         def rot_refs(angle):
             imgs, _, _, _, _ = normalize_reference_views_device(
-                pool['imgs'][pool['ref_idx']], None,
-                pool['poses'][pool['ref_idx']], pool['Ks'][pool['ref_idx']],
-                self.center, self.diameter, self.size, self.margin,
-                object_vert=self.vert, extra_angle=angle)
+                ref_raw, None, pool['poses'][si, ridx], pool['Ks'][si, ridx],
+                center, diameter, self.size, self.margin, object_vert=vert,
+                extra_angle=angle)
             return imgs
 
         ref_imgs = jax.vmap(rot_refs)(angles)  # an,rfn,h,w,3
 
-        scores = view_correlation(que_poses, pool['ref_poses_new'], self.center)
+        ref_poses_new = pool['ref_poses_new'][si]
+        ref_Ks_new = pool['ref_Ks_new'][si]
+        scores = view_correlation(que_poses, ref_poses_new, center)
         gt_ref_ids = jnp.argmax(scores, 1)
         _, angles_r2q = scale_rotation_difference_from_cameras(
-            pool['ref_poses_new'][gt_ref_ids], que_poses,
-            pool['ref_Ks_new'][gt_ref_ids], que_Ks, self.center)
-        return {'ref_imgs': ref_imgs, 'ref_poses': pool['ref_poses_new'],
-                'object_center': self.center, 'object_vert': self.vert,
+            ref_poses_new[gt_ref_ids], que_poses, ref_Ks_new[gt_ref_ids],
+            que_Ks, center)
+        return {'ref_imgs': ref_imgs, 'ref_poses': ref_poses_new,
+                'object_center': center, 'object_vert': vert,
                 'que_imgs': que_imgs, 'ref_vp_scores': scores,
                 'angles_r2q': angles_r2q, 'gt_ref_ids': gt_ref_ids}
 
@@ -239,25 +395,30 @@ class SyntheticTrainData:
         # normalized-object units (diameter 2, center 0) throughout
         diameter = 2.0
         center = jnp.zeros(3)
-        keys = jax.random.split(key, 6)
-        vi = jax.random.randint(keys[0], (qn,), 0, pool['imgs'].shape[0])
-        scale_aug = 2.0 ** jax.random.uniform(keys[1], (qn,), minval=-0.3,
+        keys = jax.random.split(key, 8)
+        si = self._rand_scene(keys[0])
+        vi = jax.random.randint(keys[1], (qn,), 0, pool['imgs'].shape[1])
+        scale_aug = 2.0 ** jax.random.uniform(keys[2], (qn,), minval=-0.3,
                                               maxval=0.3)
-        rot_aug = jnp.deg2rad(jax.random.uniform(keys[2], (qn,), minval=-15.0,
+        rot_aug = jnp.deg2rad(jax.random.uniform(keys[3], (qn,), minval=-15.0,
                                                  maxval=15.0))
-        off_aug = 4.0 * jax.random.normal(keys[3], (qn, 2))
-        pick = jax.random.randint(keys[4], (qn,), 0, 8)
+        off_aug = 4.0 * jax.random.normal(keys[4], (qn, 2))
+        pick = jax.random.randint(keys[5], (qn,), 0, 8)
+
+        poses_norm = pool['poses_norm'][si]
+        Ks_all = pool['Ks'][si]
+        imgs_all_u8 = pool['imgs'][si]
 
         def build_one(qi, s_aug, r_aug, off, pk):
-            que_pose = pool['poses_norm'][qi]
-            que_K = pool['Ks'][qi]
-            que_img = pool['imgs'][qi]
+            que_pose = poses_norm[qi]
+            que_K = Ks_all[qi]
+            que_img = self._to_f32(imgs_all_u8[qi])
             # input pose: one of the top-8 correlated views
-            corr = view_correlation(que_pose[None], pool['poses_norm'], center)[0]
+            corr = view_correlation(que_pose[None], poses_norm, center)[0]
             _, top = jax.lax.top_k(corr, 8)
             ii = top[pk]
-            input_pose_raw = pool['poses_norm'][ii]
-            input_K_raw = pool['Ks'][ii]
+            input_pose_raw = poses_norm[ii]
+            input_K_raw = Ks_all[ii]
 
             # rectify input to look at the object at canonical scale
             # (train_dataset.py:1260-1272)
@@ -288,18 +449,23 @@ class SyntheticTrainData:
                 input_pose, que_pose_warp, input_K, que_K_warp, center)
 
             # reference views near the input pose (train_dataset.py:1357-1396)
-            corr_r = view_correlation(input_pose[None], pool['poses_norm'], center)[0]
+            corr_r = view_correlation(input_pose[None], poses_norm, center)[0]
             _, ridx = jax.lax.top_k(corr_r, ref_num)
-            ref_crops, _, ref_Ks_new, ref_poses_new, _ = normalize_reference_views_device(
-                pool['imgs'][ridx], None, pool['poses_norm'][ridx], pool['Ks'][ridx],
-                center, diameter, size, margin,
-                input_pose=input_pose, input_K=input_K)
+            ref_crops, _, ref_Ks_new, ref_poses_new, _ = \
+                normalize_reference_views_device(
+                    self._to_f32(imgs_all_u8[ridx]), None, poses_norm[ridx],
+                    Ks_all[ridx], center, diameter, size, margin,
+                    input_pose=input_pose, input_K=input_K)
             return (que_img_warp, que_K_warp, input_pose, pose_sim,
                     que_pose_warp, ref_crops, ref_poses_new, ref_Ks_new)
 
         (que_imgs, que_Ks_in, poses_in, poses_sim, poses_warp, ref_imgs,
          ref_poses, ref_Ks) = jax.vmap(build_one)(vi, scale_aug, rot_aug,
                                                   off_aug, pick)
+        if self.augment:
+            que_imgs = photometric_aug(keys[6], que_imgs, p_blur=0.15,
+                                       p_motion=0.1, p_jitter=0.5,
+                                       p_shade=0.2, p_noise=0.3)
         return {'que_imgs': que_imgs, 'que_Ks_in': que_Ks_in,
                 'que_poses_in': poses_in, 'ref_imgs': ref_imgs,
                 'ref_poses': ref_poses, 'ref_Ks': ref_Ks,

@@ -3,12 +3,16 @@
 Port of the reference Trainer (train/trainer.py:19-208) on optax/orbax:
 - step loop to ``total_step``, loss = sum of 'loss*' entries, Adam with the
   exp-decay schedule (trainer.py:109-140);
-- validation every ``val_interval`` with best-checkpoint selection by a key
-  metric (trainer.py:144-152; metrics gen6d_tpu/train/metrics.py);
-- latest checkpoint every ``save_interval`` + auto-resume (trainer.py:175-194);
+- validation every ``val_interval`` over a fixed >=128-sample held-out scene
+  with best-checkpoint selection by a key metric (trainer.py:144-152;
+  ValidationEvaluator train_valid.py:16-44; metrics gen6d_tpu/train/metrics.py);
+- latest checkpoint (params + optimizer state + step, reference
+  trainer.py:187-194) every ``save_interval`` + auto-resume; ``model_best`` is
+  a params-only inference artifact (estimator.py:121-123);
 - scalar logging to a ``train.txt``-style log (train_tools.py:93-108).
 
-Data comes from the on-device batch builders (gen6d_tpu/train/datasets.py).
+Data comes from the on-device multi-scene batch builders
+(gen6d_tpu/train/datasets.py); train and val scene pools are disjoint.
 """
 import json
 import os
@@ -21,7 +25,8 @@ import optax
 import orbax.checkpoint as ocp
 
 from gen6d_tpu.models import name2network
-from gen6d_tpu.train.datasets import SyntheticTrainData
+from gen6d_tpu.train.datasets import (DEFAULT_TRAIN_SCENES,
+                                      DEFAULT_VAL_SCENES, SyntheticTrainData)
 from gen6d_tpu.train.lr import name2lr_manager
 from gen6d_tpu.train.steps import (adam, make_detector_train_step,
                                    make_refiner_train_step,
@@ -37,8 +42,9 @@ DEFAULT_TRAIN_CFG = {
     'val_interval': 500,
     'save_interval': 500,
     'batch_size': 4,
+    'val_samples': 128,
     'model_dir': 'data/model',
-    'dataset': {'n_views': 96, 'seed': 0},
+    'dataset': {'n_views': 64, 'seed': 0},
     # computation dtype for the networks during training ('bfloat16' halves
     # activation memory on TPU; params/optimizer stay f32)
     'dtype': None,
@@ -62,7 +68,14 @@ class Trainer:
 
         schedule = name2lr_manager[self.cfg['lr_type']](**self.cfg['lr_cfg'])
         self.optimizer = adam(schedule)
-        self.data = SyntheticTrainData(**self.cfg['dataset'])
+        dcfg = dict(self.cfg['dataset'])
+        val_scenes = dcfg.pop('val_scenes', DEFAULT_VAL_SCENES)
+        dcfg.setdefault('scenes', DEFAULT_TRAIN_SCENES)
+        self.data = SyntheticTrainData(**dcfg)
+        # held-out validation scene(s), clean batches (eval-like conditions)
+        self.val_data = SyntheticTrainData(
+            **{**dcfg, 'scenes': val_scenes, 'augment': False,
+               'distractors': False})
 
         makers = {'detector': make_detector_train_step,
                   'selector': make_selector_train_step,
@@ -71,17 +84,18 @@ class Trainer:
         self._init_state()
         self.ckpt = ocp.StandardCheckpointer()
 
-    def _batch(self, key):
+    def _batch(self, key, data=None):
         qn = self.cfg['batch_size']
+        data = data or self.data
         if self.cfg['network'] == 'detector':
-            return self.data.det_batch(key, qn=qn)
+            return data.det_batch(key, qn=qn)
         if self.cfg['network'] == 'selector':
-            return self.data.sel_batch(key, qn=qn)
-        return self.data.ref_batch(key, qn=max(1, qn // 2))
+            return data.sel_batch(key, qn=qn)
+        return data.ref_batch(key, qn=max(1, qn // 2))
 
     def _init_state(self):
         key = jax.random.PRNGKey(self.cfg.get('seed', 0))
-        batch = jax.tree.map(lambda x: x, self._batch(key))
+        batch = self._batch(key)
         net = self.cfg['network']
         if net == 'detector':
             args = (batch['ref_imgs'][:2], batch['que_imgs'][:1])
@@ -99,22 +113,32 @@ class Trainer:
         self.best_metric = -np.inf
 
     # ----------------------------------------------------------- checkpoints
-    def _save(self, tag):
+    def _save(self, tag, with_opt=False):
         path = os.path.join(self.model_dir, tag)
-        self.ckpt.save(path, self.params, force=True)
+        state = {'params': self.params, 'opt_state': self.opt_state} \
+            if with_opt else self.params
+        self.ckpt.save(path, state, force=True)
         # orbax saves are async; an interpreter exiting mid-save corrupts the
         # final checkpoint ("cannot schedule new futures after shutdown")
         self.ckpt.wait_until_finished()
         with open(os.path.join(self.model_dir, f'{tag}.json'), 'w') as f:
-            json.dump({'step': self.step, 'best_metric': float(self.best_metric)}, f)
+            json.dump({'step': self.step,
+                       'best_metric': float(self.best_metric),
+                       'with_opt': with_opt}, f)
 
     def _try_resume(self):
         path = os.path.join(self.model_dir, 'model')
         meta = os.path.join(self.model_dir, 'model.json')
         if os.path.exists(path) and os.path.exists(meta):
-            self.params = self.ckpt.restore(path, self.params)
             with open(meta) as f:
                 info = json.load(f)
+            if info.get('with_opt'):
+                ref = {'params': self.params, 'opt_state': self.opt_state}
+                state = self.ckpt.restore(path, ref)
+                self.params = state['params']
+                self.opt_state = state['opt_state']
+            else:  # params-only checkpoint from an older run
+                self.params = self.ckpt.restore(path, self.params)
             self.step = info['step']
             self.best_metric = info.get('best_metric', -np.inf)
             print(f'resumed from step {self.step}')
@@ -153,8 +177,8 @@ class Trainer:
             return run
 
         object_pts = jnp.asarray(
-            (np.asarray(self.data.database.scene.point_cloud)
-             - np.asarray(self.data.center)) * (2.0 / self.data.diameter),
+            (np.asarray(self.val_data.database.scene.point_cloud)
+             - np.asarray(self.val_data.center)) * (2.0 / self.val_data.diameter),
             jnp.float32)
 
         @jax.jit
@@ -180,21 +204,25 @@ class Trainer:
             return res
         return run
 
-    def validate(self, key):
-        """Fixed-seed held-out evaluation (val determinism per reference
-        utils/dataset_utils.py:26-34). Returns (metrics dict, key metric)."""
+    def validate(self, key=None):
+        """Fixed-key held-out evaluation over >= ``val_samples`` samples from
+        the validation scene pool (the reference sweeps whole val sets,
+        train_valid.py:16-44; val determinism per utils/dataset_utils.py:26-34).
+        Returns (metrics dict, key metric)."""
         net = self.cfg['network']
-        val_key = jax.random.PRNGKey(12345)
-        if net == 'detector':
-            batch = self.data.det_batch(val_key, qn=self.cfg['batch_size'])
-        elif net == 'selector':
-            batch = self.data.sel_batch(val_key, qn=self.cfg['batch_size'])
-        else:
-            batch = self.data.ref_batch(val_key,
-                                        qn=max(1, self.cfg['batch_size'] // 2))
+        qn = self.cfg['batch_size'] if net != 'refiner' \
+            else max(1, self.cfg['batch_size'] // 2)
+        n_batches = max(1, int(np.ceil(self.cfg['val_samples'] / qn)))
         if not hasattr(self, '_val_run'):
             self._val_run = self._val_fn()
-        m = {k: float(v) for k, v in self._val_run(self.params, batch).items()}
+        acc = {}
+        for bi in range(n_batches):
+            val_key = jax.random.PRNGKey(12345 + bi)
+            batch = self._batch(val_key, data=self.val_data)
+            m = self._val_run(self.params, batch)
+            for k, v in m.items():
+                acc.setdefault(k, []).append(float(v))
+        m = {k: float(np.mean(v)) for k, v in acc.items()}
         if net == 'detector':
             return m, m['iou']
         if net == 'selector':
@@ -220,8 +248,10 @@ class Trainer:
         to_u8 = lambda x: np.clip(np.asarray(x) * 255, 0, 255).astype(np.uint8)
         for bi in range(n_batches):
             key = jax.random.PRNGKey(1000 + bi)
+            # alternate train-pool (augmented) and val-pool (clean) batches
+            data = self.data if bi % 2 == 0 else self.val_data
             if net == 'detector':
-                batch = self.data.det_batch(key, qn=self.cfg['batch_size'])
+                batch = data.det_batch(key, qn=self.cfg['batch_size'])
                 out = jax.jit(self.network.apply)(self.params,
                                                   batch['ref_imgs'],
                                                   batch['que_imgs'])
@@ -242,7 +272,7 @@ class Trainer:
                     vis.append(img)
                 frame = concat_images_list(*vis)
             elif net == 'selector':
-                batch = self.data.sel_batch(key, qn=self.cfg['batch_size'])
+                batch = data.sel_batch(key, qn=self.cfg['batch_size'])
                 out = jax.jit(self.network.apply)(
                     self.params, batch['ref_imgs'], batch['ref_poses'],
                     batch['object_center'], batch['object_vert'],
@@ -257,8 +287,8 @@ class Trainer:
                     rows.append(concat_images_list(*row))
                 frame = concat_images_list(*rows, vert=True)
             else:
-                batch = self.data.ref_batch(key,
-                                            qn=max(1, self.cfg['batch_size'] // 2))
+                batch = data.ref_batch(key,
+                                       qn=max(1, self.cfg['batch_size'] // 2))
                 rows = []
                 for qi in range(batch['que_imgs'].shape[0]):
                     row = [to_u8(batch['que_imgs'][qi])]
@@ -273,7 +303,9 @@ class Trainer:
     def run(self):
         self._try_resume()
         cfg = self.cfg
-        key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
+        # per-step keys via fold_in: resume at step k reproduces the exact
+        # batch sequence of an uninterrupted run
+        base_key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
         log_path = os.path.join(self.model_dir, 'train.txt')
         # tensorboardX scalars (reference Logger, train_tools.py:93-108)
         try:
@@ -283,7 +315,7 @@ class Trainer:
             tb = None
         t0 = time.time()
         while self.step < cfg['total_step']:
-            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(base_key, self.step)
             batch = self._batch(sub)
             self.params, self.opt_state, metrics = self.train_step(
                 self.params, self.opt_state, batch)
@@ -302,7 +334,7 @@ class Trainer:
                         tb.add_scalar(f'train/{k}', float(v), self.step)
 
             if self.step % cfg['val_interval'] == 0 or self.step == cfg['total_step']:
-                val_metrics, key_metric = self.validate(key)
+                val_metrics, key_metric = self.validate()
                 line = f"val step {self.step} key={key_metric:.5f} {val_metrics}"
                 print(line)
                 with open(log_path, 'a') as f:
@@ -315,6 +347,6 @@ class Trainer:
                     self._save('model_best')
 
             if self.step % cfg['save_interval'] == 0:
-                self._save('model')
-        self._save('model')
+                self._save('model', with_opt=True)
+        self._save('model', with_opt=True)
         return self.params

@@ -149,7 +149,17 @@ class TestMetrics:
 
 @pytest.fixture(scope='module')
 def tdata():
-    return SyntheticTrainData(n_views=24)
+    # single clean scene: the GT-math tests need the object to be the only
+    # content (no distractors/backgrounds)
+    return SyntheticTrainData(n_views=24, scenes=('cube-checks@0',),
+                              augment=False, distractors=False)
+
+
+@pytest.fixture(scope='module')
+def tdata_aug():
+    # multi-scene pool with the full augmentation pipeline on
+    return SyntheticTrainData(n_views=12,
+                              scenes=('cube-checks@0', 'oct-stripes@2'))
 
 
 class TestBatchBuilders:
@@ -184,6 +194,28 @@ class TestBatchBuilders:
         assert b['que_imgs'].shape == (2, 128, 128, 3)
         assert b['ref_vp_scores'].shape[0] == 2
         assert np.all(np.abs(np.array(b['angles_r2q'])) < np.pi)
+
+    def test_det_batch_augmented(self, tdata_aug):
+        """Multi-scene pool + backgrounds/distractors/photometric aug: batches
+        stay finite, in range, with valid GT."""
+        b = tdata_aug.det_batch(jax.random.PRNGKey(7), qn=2, que_size=256)
+        imgs = np.asarray(b['que_imgs'])
+        assert np.all(np.isfinite(imgs))
+        assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+        assert np.all(np.asarray(b['scale_diff']) > 0)
+        s = tdata_aug.sel_batch(jax.random.PRNGKey(8), qn=2)
+        assert np.all(np.isfinite(np.asarray(s['que_imgs'])))
+
+    def test_scene_sampling_varies(self, tdata_aug):
+        """Different keys hit different scenes of the pool."""
+        sis = set()
+        for i in range(8):
+            key = jax.random.PRNGKey(i)
+            import jax.random as jr
+            si = int(jr.randint(jr.split(key, 12)[0], (), 0,
+                                tdata_aug.pool['imgs'].shape[0]))
+            sis.add(si)
+        assert len(sis) > 1
 
     def test_ref_batch(self, tdata):
         b = tdata.ref_batch(jax.random.PRNGKey(2), qn=2, ref_num=4)
