@@ -113,9 +113,7 @@ def evaluate(cfg_path, object_name, split_type=None, symmetric=False,
     out_dir = Path(output_root) / object_name.replace('/', '_')
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    pose_pr_list = []
-    t0 = time.time()
-    for b0 in range(0, len(que_ids), batch):
+    def run_chunk(b0):
         chunk = imgs[b0:b0 + batch]
         Kc = np.stack(Ks[b0:b0 + batch], 0)
         # pad the last chunk to the compiled batch size
@@ -123,7 +121,20 @@ def evaluate(cfg_path, object_name, split_type=None, symmetric=False,
         imgs_b = np.stack(chunk + [chunk[-1]] * pad, 0)
         Kb = np.concatenate([Kc, np.tile(Kc[-1:], (pad, 1, 1))], 0)
         poses = estimator.predict_batch(imgs_b, Kb)
-        pose_pr_list.extend(list(poses[:len(chunk)]))
+        return list(poses[:len(chunk)])
+
+    # warm-up: the first call compiles the fused program; report compile time
+    # separately so predict_s measures steady-state serving throughput (the
+    # number bench.py reports)
+    t0 = time.time()
+    first = run_chunk(0)
+    compile_s = time.time() - t0
+
+    pose_pr_list = list(first)
+    t0 = time.time()
+    for b0 in range(batch, len(que_ids), batch):
+        pose_pr_list.extend(run_chunk(b0))
+    n_timed = max(1, len(que_ids) - len(first))
     predict_s = time.time() - t0
 
     if vis_interval:
@@ -140,8 +151,9 @@ def evaluate(cfg_path, object_name, split_type=None, symmetric=False,
     results = compute_metrics(object_pts, diameter, np.stack(pose_gt_list),
                               np.stack(pose_pr_list), np.stack(Ks),
                               symmetric=symmetric)
-    results['poses_per_sec'] = round(len(que_ids) / predict_s, 2)
+    results['poses_per_sec'] = round(n_timed / predict_s, 2)
     results['build_s'] = round(build_s, 1)
+    results['compile_s'] = round(compile_s, 1)
     msg = f'{object_name} ' + ' '.join(f'{k}={v:.4f}' if isinstance(v, float)
                                        else f'{k}={v}'
                                        for k, v in results.items())

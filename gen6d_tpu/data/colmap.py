@@ -136,3 +136,70 @@ def read_model(sparse_dir):
     pts_path = os.path.join(sparse_dir, 'points3D.bin')
     pts = read_points3d_binary(pts_path) if os.path.exists(pts_path) else None
     return cams, imgs, pts
+
+
+# ------------------------------------------------------------------ writers
+# Binary writers completing the custom-object round-trip (parity with the
+# reference's vendored utils/read_write_model.py:419-484).
+
+_MODEL_IDS = {name: (mid, np_) for mid, (name, np_) in CAMERA_MODELS.items()}
+
+
+def _write(f, fmt, *vals):
+    f.write(struct.pack(fmt, *vals))
+
+
+def write_cameras_binary(cams, path):
+    """cams: {id: Camera} -> cameras.bin."""
+    with open(path, 'wb') as f:
+        _write(f, '<Q', len(cams))
+        for cam in cams.values():
+            mid, np_ = _MODEL_IDS[cam.model]
+            _write(f, '<iiQQ', cam.id, mid, int(cam.width), int(cam.height))
+            params = np.asarray(cam.params, np.float64)
+            assert len(params) == np_, (cam.model, len(params))
+            _write(f, '<' + 'd' * np_, *params.tolist())
+
+
+def write_images_binary(imgs, path):
+    """imgs: {id: Image} -> images.bin (no 2D point tracks)."""
+    with open(path, 'wb') as f:
+        _write(f, '<Q', len(imgs))
+        for im in imgs.values():
+            _write(f, '<i', im.id)
+            _write(f, '<dddd', *np.asarray(im.qvec, np.float64).tolist())
+            _write(f, '<ddd', *np.asarray(im.tvec, np.float64).tolist())
+            _write(f, '<i', im.camera_id)
+            f.write(im.name.encode('utf-8') + b'\x00')
+            _write(f, '<Q', 0)  # no 2D points
+
+
+def write_points3d_binary(xyz, rgb, path, ids=None, errors=None):
+    """xyz (n,3), rgb (n,3) uint8 -> points3D.bin (empty tracks)."""
+    n = len(xyz)
+    ids = ids if ids is not None else np.arange(n)
+    errors = errors if errors is not None else np.full(n, -1.0)
+    with open(path, 'wb') as f:
+        _write(f, '<Q', n)
+        for i in range(n):
+            _write(f, '<Q', int(ids[i]))
+            _write(f, '<ddd', *np.asarray(xyz[i], np.float64).tolist())
+            _write(f, '<BBB', *np.asarray(rgb[i], np.uint8).tolist())
+            _write(f, '<d', float(errors[i]))
+            _write(f, '<Q', 0)  # empty track
+
+
+def write_model(cams, imgs, pts, sparse_dir):
+    """Write a COLMAP sparse model directory (cameras/images/points3D.bin).
+
+    ``pts``: (xyz, rgb, ids) like read_points3d_binary returns, or None.
+    Round-trips with read_model.
+    """
+    os.makedirs(sparse_dir, exist_ok=True)
+    write_cameras_binary(cams, os.path.join(sparse_dir, 'cameras.bin'))
+    write_images_binary(imgs, os.path.join(sparse_dir, 'images.bin'))
+    if pts is not None:
+        xyz, rgb, ids = pts
+        write_points3d_binary(xyz, rgb,
+                              os.path.join(sparse_dir, 'points3D.bin'),
+                              ids=ids)

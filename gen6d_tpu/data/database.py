@@ -27,6 +27,23 @@ GENMOP_ROOT = f'{DATA_ROOT}/GenMOP'
 
 
 def imread(path):
+    """Image decode via the native host runtime (native/gen6d_native.cpp,
+    libjpeg/libpng), PIL fallback."""
+    from gen6d_tpu.utils import native
+    if native.available():
+        p = str(path)
+        if p.lower().endswith(('.jpg', '.jpeg')):
+            img = native.decode_jpeg(p)
+            if img is not None:
+                return img
+        elif p.lower().endswith('.png'):
+            img = native.decode_png(p)
+            if img is not None:
+                if img.shape[2] == 4:
+                    img = img[..., :3]
+                elif img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                return img
     return np.asarray(PILImage.open(path).convert('RGB'))
 
 
@@ -73,6 +90,11 @@ class BaseDatabase(abc.ABC):
         img = self.get_image(img_id)
         return np.ones(img.shape[:2], bool)
 
+    def get_image_path(self, img_id):
+        """Path of the image file, or None for procedurally generated data —
+        lets batch loaders use the native threaded decoder."""
+        return None
+
 
 class LINEMODDatabase(BaseDatabase):
     """Reference dataset/database.py:56-105: fixed K, poses from .npy files,
@@ -105,7 +127,10 @@ class LINEMODDatabase(BaseDatabase):
         return model
 
     def get_image(self, img_id):
-        return imread(f'{self.root}/JPEGImages/{int(img_id):06}.jpg')
+        return imread(self.get_image_path(img_id))
+
+    def get_image_path(self, img_id):
+        return f'{self.root}/JPEGImages/{int(img_id):06}.jpg'
 
     def get_K(self, img_id):
         return np.copy(self.K)
@@ -239,7 +264,10 @@ class GenMOPDatabase(BaseDatabase):
                       for i in self.get_img_ids()}
 
     def get_image(self, img_id):
-        return imread(str(self.root / 'images' / self.img_fns[int(img_id)]))
+        return imread(self.get_image_path(img_id))
+
+    def get_image_path(self, img_id):
+        return str(self.root / 'images' / self.img_fns[int(img_id)])
 
     def get_K(self, img_id):
         return self.Ks[img_id].copy()
@@ -296,7 +324,10 @@ class CustomDatabase(BaseDatabase):
                 self.poses[k] = np.concatenate([R, t], 1).astype(np.float32)
 
     def get_image(self, img_id):
-        return imread(str(self.img_dir / self.img_fns[int(img_id)]))
+        return imread(self.get_image_path(img_id))
+
+    def get_image_path(self, img_id):
+        return str(self.img_dir / self.img_fns[int(img_id)])
 
     def get_K(self, img_id):
         return self.Ks[img_id].copy()

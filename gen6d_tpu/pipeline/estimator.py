@@ -313,14 +313,18 @@ class Gen6DEstimator:
             return poses
         return run
 
-    def predict_batch(self, que_imgs, que_Ks, mesh=None):
+    def predict_batch(self, que_imgs, que_Ks, mesh=None, shard_views=False):
         """Batched fused prediction: que_imgs (qn,h,w,3) uint8/float,
         que_Ks (qn,3,3) -> poses (qn,3,4) numpy. The production serving path.
 
         With ``mesh`` (a jax.sharding.Mesh with a 'dp' axis) the query batch is
-        sharded over dp and the reference caches are replicated — the
-        multi-chip pose server (BASELINE.json config #5); GSPMD inserts the
-        collectives. qn must be divisible by the dp size.
+        sharded over dp — the multi-chip pose server (BASELINE.json config #5);
+        GSPMD inserts the collectives. qn must be divisible by the dp size.
+        ``shard_views`` additionally shards the reference-view axis of every
+        cache over the mesh's 'view' axis (the selector correlation tensor's
+        rfn axis, the detector filter bank, the refiner view pool — this
+        workload's sequence-parallelism analogue, SURVEY.md §2.10); rfn must be
+        divisible by the view size.
         """
         que_imgs = np.asarray(que_imgs)
         if que_imgs.dtype == np.uint8:
@@ -340,9 +344,30 @@ class Gen6DEstimator:
             rep = NamedSharding(mesh, P())
             que_imgs = jax.device_put(que_imgs, dp_sh)
             que_Ks = jax.device_put(que_Ks, dp_sh)
-            ref_info = jax.tree.map(
-                lambda x: jax.device_put(x, rep)
-                if isinstance(x, jnp.ndarray) else x, ref_info)
+            if shard_views:
+                # leading-rfn caches over 'view'; sel_feats are (an,rfn,...)
+                view_specs = {
+                    'det_ref_feats': P('view'),
+                    'sel_feats': P(None, 'view'),
+                    'sel_pose_embed': P('view'),
+                    'poses': P('view'), 'Ks': P('view'),
+                    'refine_imgs': P('view'), 'refine_poses': P('view'),
+                    'refine_Ks': P('view'),
+                }
+                def put(k, x):
+                    if not isinstance(x, jnp.ndarray):
+                        return x
+                    spec = view_specs.get(k)
+                    sh = NamedSharding(mesh, spec) if spec is not None else rep
+                    return jax.device_put(x, sh)
+                ref_info = {
+                    k: (tuple(put(k, e) for e in v) if isinstance(v, tuple)
+                        else put(k, v))
+                    for k, v in ref_info.items()}
+            else:
+                ref_info = jax.tree.map(
+                    lambda x: jax.device_put(x, rep)
+                    if isinstance(x, jnp.ndarray) else x, ref_info)
         poses = fused(self.detector_params, self.selector_params,
                       self.refiner_params, que_imgs, que_Ks, ref_info)
         return np.asarray(poses)

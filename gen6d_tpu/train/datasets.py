@@ -472,3 +472,125 @@ class SyntheticTrainData:
                 'object_center': jnp.zeros((qn, 3)),
                 'poses_sim_in_to_que': poses_sim,
                 'que_poses_warp': poses_warp}
+
+
+class RefinerValData:
+    """Refiner validation on CACHED detector/selector predictions (reference
+    RefinerValDataset, train_dataset.py:1475-1581): the input poses are the
+    pipeline's actual pose initializations — produced by
+    ``cli/prepare.py gen_val_set`` (prepare.py:44-71) — so the refiner is
+    validated on the initialization distribution it sees at inference, not on
+    synthetic GT-noise.
+    """
+
+    def __init__(self, que_database_name, ref_split='synthetic_split',
+                 val_root='data/val', size=128, margin=0.05, ref_num=6,
+                 ref_even_num=64):
+        import pickle
+        from gen6d_tpu.geometry.solvers import (
+            estimate_pose_from_similarity_transform_compose)
+        from gen6d_tpu.geometry.pose import normalize_pose
+
+        self.size = size
+        self.margin = margin
+        self.ref_num = ref_num
+        with open(f'{val_root}/det/{que_database_name}/det.pkl', 'rb') as f:
+            det_info = pickle.load(f)
+        with open(f'{val_root}/sel/{que_database_name}/det-sel.pkl', 'rb') as f:
+            sel_info = pickle.load(f)
+
+        db = dbm.parse_database_name(que_database_name)
+        self.database = db
+        center = np.asarray(dbm.get_object_center(db), np.float32)
+        diameter = float(dbm.get_diameter(db))
+        self.center = center
+        self.diameter = diameter
+        norm_scale = 2.0 / diameter
+        norm_offset = (-norm_scale * center).astype(np.float32)
+
+        que_ids = sorted(det_info.keys(), key=str)
+        self.que_ids = que_ids
+        imgs, _, poses_gt, Ks = rp.gather_images(db, que_ids, with_masks=False)
+        self.que_imgs_u8 = jnp.asarray((imgs * 255).astype(np.uint8))
+        self.que_Ks = jnp.asarray(Ks)
+        # GT + pose-init in normalized units (refiner.py:289-290)
+        poses_gt_n = jax.vmap(normalize_pose, in_axes=(0, None, None))(
+            jnp.asarray(poses_gt), norm_scale, jnp.asarray(norm_offset))
+        self.que_poses_gt = poses_gt_n
+
+        positions = jnp.asarray(np.stack([det_info[i][0] for i in que_ids]))
+        scales = jnp.asarray([float(det_info[i][1]) for i in que_ids])
+        angles = jnp.asarray([float(sel_info[i][0]) for i in que_ids])
+        sel_poses = jnp.asarray(np.stack([sel_info[i][1] for i in que_ids]))
+        sel_Ks = jnp.asarray(np.stack([sel_info[i][2] for i in que_ids]))
+        pose0 = jax.vmap(estimate_pose_from_similarity_transform_compose,
+                         in_axes=(0, 0, 0, 0, 0, 0, None))(
+            positions, scales, angles, sel_poses, sel_Ks, self.que_Ks,
+            jnp.asarray(center))
+        self.poses_init = jax.vmap(normalize_pose, in_axes=(0, None, None))(
+            pose0, norm_scale, jnp.asarray(norm_offset))
+
+        # reference-view pool for refinement (even FPS, like the estimator)
+        ref_ids_all, _ = dbm.get_database_split(db, ref_split)
+        ref_ids = rp.select_reference_img_ids_fps(
+            db, ref_ids_all, min(ref_even_num, len(ref_ids_all) - 1))
+        rimgs, _, rposes, rKs = rp.gather_images(db, ref_ids, with_masks=False)
+        self.ref_imgs_u8 = jnp.asarray((rimgs * 255).astype(np.uint8))
+        self.ref_poses = jax.vmap(normalize_pose, in_axes=(0, None, None))(
+            jnp.asarray(rposes), norm_scale, jnp.asarray(norm_offset))
+        self.ref_Ks = jnp.asarray(rKs)
+        self._jit = None
+
+    def __len__(self):
+        return len(self.que_ids)
+
+    def batch(self, indices):
+        """indices: (qn,) numpy ints -> refiner batch dict (same keys as
+        SyntheticTrainData.ref_batch, with the cached initializations)."""
+        if self._jit is None:
+            self._jit = jax.jit(self._batch_impl)
+        return self._jit(jnp.asarray(indices))
+
+    def _batch_impl(self, idx):
+        size = self.size
+        margin = self.margin
+        center = jnp.zeros(3)
+
+        def build_one(qi):
+            que_img = self.que_imgs_u8[qi].astype(jnp.float32) / 255.0
+            que_K = self.que_Ks[qi]
+            in_pose = self.poses_init[qi]
+            que_pose_gt = self.que_poses_gt[qi]
+            # rectify the input pose to a canonical look-at crop
+            # (refiner.py:294-301 / estimator._refine_prewarp)
+            _, new_f = let_me_look_at(in_pose, que_K, center)
+            in_dist = jnp.linalg.norm(camera_position(in_pose) - center)
+            in_f = size * (1 - margin) / 2.0 * in_dist
+            scale = in_f / new_f
+            position, _ = project_points(center[None], in_pose, que_K)
+            H, que_K_warp, in_pose_warp, pose_rect = look_at_crop_transform(
+                que_K, in_pose, position[0], 0.0, scale, size, size)
+            que_warp = warp_perspective(que_img, H, (size, size))
+            que_pose_warp_gt = pose_compose(que_pose_gt, pose_rect)
+            pose_sim = approximate_rigid_to_similarity(
+                in_pose_warp, que_pose_warp_gt, que_K_warp, que_K_warp, center)
+
+            corr = view_correlation(in_pose_warp[None], self.ref_poses,
+                                    center)[0]
+            _, ridx = jax.lax.top_k(corr, self.ref_num)
+            ref_crops, _, ref_Ks_new, ref_poses_new, _ = \
+                normalize_reference_views_device(
+                    self.ref_imgs_u8[ridx].astype(jnp.float32) / 255.0, None,
+                    self.ref_poses[ridx], self.ref_Ks[ridx], center, 2.0,
+                    size, margin, input_pose=in_pose_warp, input_K=que_K_warp)
+            return (que_warp, que_K_warp, in_pose_warp, pose_sim,
+                    que_pose_warp_gt, ref_crops, ref_poses_new, ref_Ks_new)
+
+        (que_imgs, que_Ks_in, poses_in, poses_sim, poses_warp, ref_imgs,
+         ref_poses, ref_Ks) = jax.vmap(build_one)(idx)
+        return {'que_imgs': que_imgs, 'que_Ks_in': que_Ks_in,
+                'que_poses_in': poses_in, 'ref_imgs': ref_imgs,
+                'ref_poses': ref_poses, 'ref_Ks': ref_Ks,
+                'object_center': jnp.zeros((idx.shape[0], 3)),
+                'poses_sim_in_to_que': poses_sim,
+                'que_poses_warp': poses_warp}

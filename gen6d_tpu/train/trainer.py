@@ -77,6 +77,21 @@ class Trainer:
             **{**dcfg, 'scenes': val_scenes, 'augment': False,
                'distractors': False})
 
+        # refiner: validate on cached det/sel predictions when available
+        # (reference RefinerValDataset, train_dataset.py:1475-1581; pkls from
+        # cli/prepare.py gen_val_set)
+        self.ref_val = None
+        rv = self.cfg.get('refiner_val')
+        if net_name == 'refiner' and rv:
+            try:
+                from gen6d_tpu.train.datasets import RefinerValData
+                self.ref_val = RefinerValData(**rv)
+                print(f'refiner val: {len(self.ref_val)} cached '
+                      f'det/sel initializations')
+            except FileNotFoundError as e:
+                print(f'WARNING: refiner_val pkls missing ({e}); '
+                      'falling back to synthetic-noise validation')
+
         makers = {'detector': make_detector_train_step,
                   'selector': make_selector_train_step,
                   'refiner': make_refiner_train_step}
@@ -176,9 +191,10 @@ class Trainer:
                 return {k: jnp.mean(v) for k, v in m.items()}
             return run
 
+        src = self.ref_val if self.ref_val is not None else self.val_data
         object_pts = jnp.asarray(
-            (np.asarray(self.val_data.database.scene.point_cloud)
-             - np.asarray(self.val_data.center)) * (2.0 / self.val_data.diameter),
+            (np.asarray(src.database.scene.point_cloud)
+             - np.asarray(src.center)) * (2.0 / src.diameter),
             jnp.float32)
 
         @jax.jit
@@ -212,21 +228,31 @@ class Trainer:
         net = self.cfg['network']
         qn = self.cfg['batch_size'] if net != 'refiner' \
             else max(1, self.cfg['batch_size'] // 2)
-        n_batches = max(1, int(np.ceil(self.cfg['val_samples'] / qn)))
         if not hasattr(self, '_val_run'):
             self._val_run = self._val_fn()
         acc = {}
-        for bi in range(n_batches):
-            val_key = jax.random.PRNGKey(12345 + bi)
-            batch = self._batch(val_key, data=self.val_data)
-            m = self._val_run(self.params, batch)
-            for k, v in m.items():
-                acc.setdefault(k, []).append(float(v))
+        if self.ref_val is not None:
+            # fixed sweep over the cached det/sel initializations
+            n = (len(self.ref_val) // qn) * qn
+            for b0 in range(0, n, qn):
+                batch = self.ref_val.batch(np.arange(b0, b0 + qn))
+                for k, v in self._val_run(self.params, batch).items():
+                    acc.setdefault(k, []).append(float(v))
+        else:
+            n_batches = max(1, int(np.ceil(self.cfg['val_samples'] / qn)))
+            for bi in range(n_batches):
+                val_key = jax.random.PRNGKey(12345 + bi)
+                batch = self._batch(val_key, data=self.val_data)
+                for k, v in self._val_run(self.params, batch).items():
+                    acc.setdefault(k, []).append(float(v))
         m = {k: float(np.mean(v)) for k, v in acc.items()}
         if net == 'detector':
             return m, m['iou']
         if net == 'selector':
             return m, m['sel_acc_3'] + m['sel_ang_5']
+        if self.ref_val is not None:
+            # reference key metric 'pose_add' (metrics.py:261-262)
+            return m, m['pose_add-0.1']
         return m, -m['val_loss_pose']
 
     # --------------------------------------------------------------- analyze

@@ -181,3 +181,54 @@ class TestRefPrep:
         db = D.parse_database_name('synthetic/32')
         ids = RP.select_reference_img_ids_fps(db, db.get_img_ids(), 8)
         assert len(ids) == 8 and len(set(ids.tolist())) == 8
+
+
+class TestColmapWriter:
+    def test_model_round_trip(self, tmp_path):
+        """write_model -> read_model recovers cameras/images/points exactly
+        (reference utils/read_write_model.py:419-484 parity)."""
+        from gen6d_tpu.data import colmap as C
+        rng = np.random.RandomState(0)
+        cams = {1: C.Camera(1, 'SIMPLE_RADIAL', 640, 480,
+                            np.array([500.0, 320.0, 240.0, 0.01]))}
+        imgs = {}
+        for i in range(3):
+            R, _ = np.linalg.qr(rng.randn(3, 3))
+            if np.linalg.det(R) < 0:
+                R[:, 0] *= -1
+            q = C.rotmat2qvec(R)
+            imgs[i + 1] = C.Image(i + 1, q, rng.randn(3), 1, f'img{i}.jpg')
+        xyz = rng.randn(10, 3).astype(np.float32)
+        rgb = rng.randint(0, 255, (10, 3)).astype(np.uint8)
+        ids = np.arange(10, dtype=np.int64)
+        C.write_model(cams, imgs, (xyz, rgb, ids), str(tmp_path))
+
+        cams2, imgs2, pts2 = C.read_model(str(tmp_path))
+        assert cams2[1].model == 'SIMPLE_RADIAL'
+        np.testing.assert_allclose(cams2[1].params, cams[1].params)
+        for i in imgs:
+            np.testing.assert_allclose(imgs2[i].qvec, imgs[i].qvec, atol=1e-12)
+            np.testing.assert_allclose(imgs2[i].tvec, imgs[i].tvec, atol=1e-12)
+            assert imgs2[i].name == imgs[i].name
+            np.testing.assert_allclose(imgs2[i].pose(), imgs[i].pose(),
+                                       atol=1e-6)
+        np.testing.assert_allclose(pts2[0], xyz, atol=1e-6)
+        np.testing.assert_array_equal(pts2[1], rgb)
+
+
+class TestEvalSplits:
+    def test_synthetic_split_disjoint(self):
+        """Regression for the eval reference-set leak: the ref and query
+        halves of synthetic_split must not intersect, and eval must build
+        references from the ref half (cli/eval.py ref_split selection)."""
+        db = D.parse_database_name('synthetic/16')
+        ref_ids, que_ids = D.get_database_split(db, 'synthetic_split')
+        assert set(ref_ids).isdisjoint(que_ids)
+        assert len(ref_ids) + len(que_ids) == len(db.get_img_ids())
+
+    def test_eval_uses_ref_half(self):
+        import inspect
+        from gen6d_tpu.cli import eval as E
+        src = inspect.getsource(E.evaluate)
+        assert "'synthetic_split'" in src.split('ref_split =')[1].split('\n')[1] or \
+               'synthetic_split' in src.split('ref_split =')[1][:200]
