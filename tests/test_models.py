@@ -1,5 +1,6 @@
 """Model-layer golden tests vs torch CPU, plus converter structural tests
 against the reference checkpoint key/shape format."""
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -319,3 +320,28 @@ class TestParseDetection:
         np.testing.assert_allclose(np.array(pos)[0],
                                    [(7 + 0.25 + 0.5) * 8 - 0.5, (4 - 0.5 + 0.5) * 8 - 0.5])
         assert float(sc[0]) == pytest.approx(2.0)
+
+
+class TestParityHarness:
+    """The real-checkpoint parity harness (scripts/parity.py): synthesized
+    reference-layout state dicts must convert into trees that exactly match
+    the Flax init structure, and produce the stored golden activations."""
+
+    def test_structural_and_deterministic(self):
+        # NB: cross-process golden comparison lives in the standalone script
+        # (`python scripts/parity.py --check-goldens`): XLA CPU accumulation
+        # order depends on the host thread split, and the test conftest's
+        # 8-virtual-device env differs from the script's default env.
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            'parity', os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), 'scripts', 'parity.py'))
+        parity = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(parity)
+        for kind in ('detector', 'selector'):
+            sd = parity.synth_state_dict(kind)
+            params = parity.convert_and_verify(kind, sd)  # structural check
+            o1 = parity._run(kind, params)
+            o2 = parity._run(kind, params)
+            for k in o1:
+                np.testing.assert_array_equal(o1[k], o2[k])
