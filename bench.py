@@ -4,57 +4,106 @@ detect -> crop -> select -> solve -> refine x3 pipeline.
 Runs on the synthetic textured-cube scene at LINEMOD geometry (480x640 queries,
 64 reference views x 5 angles, 32 detector refs, 32^3 refine volume, 6 refine
 refs) — the gen6d_pretrain operating point (configs/gen6d_pretrain.yaml; see
-BASELINE.md). Network weights are random (no pretrained checkpoints in this
-environment); throughput is weight-independent.
+BASELINE.md). Uses the production estimator config (configs/gen6d_synthetic.yaml)
+including trained checkpoints when present; throughput is weight-independent.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is poses/sec against the 30 poses/sec/chip north star.
+
+``--profile`` additionally times each pipeline stage separately (the
+committed per-stage breakdown, docs/profile.md).
 """
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main():
+def build_estimator():
+    from gen6d_tpu.pipeline.loader import load_estimator
+    return load_estimator('configs/gen6d_synthetic.yaml')
+
+
+def profile_stages(est, imgs, Ks, batch):
+    """Per-stage wall times of the serving pipeline (jitted separately,
+    steady-state medians over 5 runs)."""
     import jax
     import jax.numpy as jnp
+    from gen6d_tpu.geometry import transform2d as t2d
+    from gen6d_tpu.models.detector import parse_detection
+    from gen6d_tpu.ops.warp import warp_affine
+
+    que = jnp.asarray(imgs[:batch].astype(np.float32) / 255.0)
+    queK = jnp.asarray(Ks[:batch], jnp.float32)
+    ref = est.ref_info
+    size = est.cfg['ref_resolution']
+
+    det = jax.jit(lambda p, q, rf: est.detector.apply(p, q, rf,
+                                                      method='detect'))
+
+    def _crop_sel(sp, crops_in):
+        logits, angles = est.selector.apply(sp, crops_in, ref['sel_feats'],
+                                            ref['sel_pose_embed'],
+                                            method='select')
+        return logits, angles
+
+    sel = jax.jit(_crop_sel)
+
+    def _refine(rp, q, k, poses):
+        return est._refine_iter_batch(rp, q, k, poses, ref['refine_imgs'],
+                                      ref['refine_poses'], ref['refine_Ks'],
+                                      ref['norm_scale'], ref['norm_offset'])
+
+    refine = jax.jit(_refine)
+
+    out = det(est.detector_params, que, ref['det_ref_feats'])
+    pos, scl = parse_detection(out['scores'], out['select_pr_scale'],
+                               out['select_pr_offset'])
+    crops = jax.vmap(lambda im, p, s: warp_affine(
+        im, t2d.crop_transform_2d(p, 1.0 / s, 0.0, size), (size, size)))(
+        que, pos, scl)
+    poses0 = jnp.tile(jnp.eye(3, 4)[None], (batch, 1, 1)).at[:, 2, 3].set(3.0)
+
+    stages = {
+        'detect': lambda: det(est.detector_params, que, ref['det_ref_feats']),
+        'select': lambda: sel(est.selector_params, crops),
+        'refine_x1': lambda: refine(est.refiner_params, que, queK, poses0),
+    }
+    times = {}
+    for name, fn in stages.items():
+        jax.block_until_ready(fn())  # compile
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(fn())
+            ts.append(time.time() - t0)
+        times[name] = float(np.median(ts))
+    return times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--profile', action='store_true')
+    ap.add_argument('--trace_dir', type=str, default=None,
+                    help='write a jax.profiler trace of the fused program')
+    args, _ = ap.parse_known_args()
+
+    import jax
     from gen6d_tpu.data import database as D
-    from gen6d_tpu.models.detector import Detector
-    from gen6d_tpu.models.refiner import VolumeRefiner
-    from gen6d_tpu.models.selector import ViewpointSelector
-    from gen6d_tpu.pipeline.estimator import Gen6DEstimator
+    from gen6d_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
 
-    import os
-    dtype = jnp.bfloat16 if os.environ.get('GEN6D_BENCH_DTYPE', 'bf16') == 'bf16' \
-        else None
-    key = jax.random.PRNGKey(0)
-    det = Detector(dtype=dtype)
-    det_params = jax.jit(det.init)(key, jnp.zeros((2, 128, 128, 3)),
-                                   jnp.zeros((1, 128, 128, 3)))
-    sel = ViewpointSelector(dtype=dtype)
-    poses0 = jnp.tile(jnp.eye(3, 4)[None], (3, 1, 1)).at[:, 2, 3].set(3.0)
-    sel_params = jax.jit(sel.init)(key, jnp.zeros((5, 3, 128, 128, 3)), poses0,
-                                   jnp.zeros(3), jnp.asarray([0.0, 0, 1]),
-                                   jnp.zeros((1, 128, 128, 3)))
-    refi = VolumeRefiner(dtype=dtype)
-    K0 = jnp.asarray([[300.0, 0, 64], [0, 300, 64], [0, 0, 1]])[None]
-    p0 = jnp.eye(3, 4)[None].at[:, 2, 3].set(3.0)
-    ref_params = jax.jit(refi.init)(key, jnp.zeros((1, 128, 128, 3)), K0, p0,
-                                    jnp.zeros((1, 2, 128, 128, 3)),
-                                    jnp.tile(p0[:, None], (1, 2, 1, 1)),
-                                    jnp.tile(K0[:, None], (1, 2, 1, 1)))
-
-    est = Gen6DEstimator({}, detector=(det, det_params),
-                         selector=(sel, sel_params),
-                         refiner=(refi, ref_params))
+    est = build_estimator()
 
     db = D.parse_database_name('synthetic/128')
     t0 = time.time()
-    est.build(db, 'all')
+    # leak-free: references from the ref half of the split, queries from the
+    # other half (cli/eval.py convention)
+    est.build(db, 'synthetic_split')
     build_s = time.time() - t0
 
-    que_ids = db.get_img_ids()[::4]
+    _, que_ids = D.get_database_split(db, 'synthetic_split')
     imgs = np.stack([db.get_image(i) for i in que_ids], 0)
     K = db.get_K('0')
     Ks = np.stack([K] * len(imgs), 0)
@@ -63,7 +112,6 @@ def main():
 
     # warmup: compiles the fused batched program + the single-query path
     est.predict_batch(imgs[:batch], Ks[:batch])
-    pose, _ = est.predict(imgs[0], K)
 
     # single-query latency (p50)
     lat = []
@@ -73,14 +121,39 @@ def main():
         lat.append(time.time() - t0)
     p50_ms = 1e3 * float(np.median(lat))
 
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            est.predict_batch(imgs[:batch], Ks[:batch])
+
     # batched throughput
     t0 = time.time()
+    all_poses = []
     for b in range(n_batches):
         poses = est.predict_batch(imgs[b * batch:(b + 1) * batch],
                                   Ks[b * batch:(b + 1) * batch])
+        all_poses.append(poses)
     dt = time.time() - t0
     n = n_batches * batch
     pps = n / dt
+
+    detail = {'n_queries': n, 'build_s': round(build_s, 2),
+              'p50_latency_ms': round(p50_ms, 1)}
+    # accuracy on the same (held-out) queries — meaningful once trained
+    # checkpoints exist; random weights report ~0
+    try:
+        from gen6d_tpu.geometry.metrics import compute_metrics
+        pose_gt = np.stack([db.get_pose(i) for i in que_ids[:n]], 0)
+        m = compute_metrics(D.get_ref_point_cloud(db), D.get_diameter(db),
+                            pose_gt, np.concatenate(all_poses, 0)[:n],
+                            Ks[:n])
+        detail['add-0.1d'] = round(float(m['add-0.1d']), 4)
+        detail['prj-5'] = round(float(m['prj-5']), 4)
+    except Exception as e:
+        detail['accuracy_error'] = str(e)[:100]
+    if args.profile:
+        stage_ms = {k: round(v * 1e3, 1)
+                    for k, v in profile_stages(est, imgs, Ks, batch).items()}
+        detail['stage_ms_batch8'] = stage_ms
 
     print(json.dumps({
         'metric': 'poses/sec/chip end-to-end (synthetic 480x640, 64 refs, '
@@ -88,8 +161,7 @@ def main():
         'value': round(pps, 3),
         'unit': 'poses/s',
         'vs_baseline': round(pps / 30.0, 3),
-        'detail': {'n_queries': n, 'build_s': round(build_s, 2),
-                   'p50_latency_ms': round(p50_ms, 1)},
+        'detail': detail,
     }))
 
 

@@ -71,6 +71,8 @@ def load_network(cfg, dtype=None):
 def load_estimator(cfg_path):
     """Build a Gen6DEstimator from a composite YAML (the gen6d_pretrain.yaml
     pattern: top-level estimator cfg + per-network sub-config paths)."""
+    from gen6d_tpu.utils.jit_cache import enable_persistent_cache
+    enable_persistent_cache()
     from gen6d_tpu.pipeline.estimator import Gen6DEstimator
     cfg = load_cfg(cfg_path)
     dtype = {'bfloat16': jnp.bfloat16, 'float32': None,

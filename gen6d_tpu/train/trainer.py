@@ -53,6 +53,8 @@ DEFAULT_TRAIN_CFG = {
 
 class Trainer:
     def __init__(self, cfg=None):
+        from gen6d_tpu.utils.jit_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.cfg = {**DEFAULT_TRAIN_CFG, **(cfg or {})}
         net_name = self.cfg['network']
         kwargs = {}
