@@ -339,6 +339,255 @@ class CustomDatabase(BaseDatabase):
         return self.img_ids
 
 
+def mask_depth_to_points(mask, depth, K):
+    """Backproject masked depth pixels to camera-frame 3D points."""
+    ys, xs = np.nonzero(mask)
+    z = depth[ys, xs]
+    valid = z > 0
+    ys, xs, z = ys[valid], xs[valid], z[valid]
+    pts = np.stack([xs * z, ys * z, z], 1) @ np.linalg.inv(K).T
+    return pts.astype(np.float32)
+
+
+GSO_ROOT = f'{DATA_ROOT}/google_scanned_objects'
+
+
+class GoogleScannedObjectDatabase(BaseDatabase):
+    """GSO renderings (reference database.py:412-549): 250 posed views per
+    object with rgb/mask/depth pngs, per-view 4x4 intrinsics/pose txts.
+    Name: ``gso/<model>/<black|white>_<resolution|raw>``.
+
+    Object center/vert/diameter come from depth+mask backprojection and are
+    cached as pickles like the reference; images are resized lazily in memory
+    (the reference materializes jpg caches on disk)."""
+
+    def __init__(self, database_name):
+        super().__init__(database_name)
+        _, model_name, background_resolution = database_name.split('/')
+        background, resolution = background_resolution.split('_')
+        assert background in ('black', 'white')
+        self.background = background
+        self.resolution = resolution
+        self.model_name = model_name
+        self.prefix = f'{GSO_ROOT}/{model_name}'
+        self._img_cache = {}
+        self._pose_cache = {}
+
+        center_fn = f'{self.prefix}/object_center.pkl'
+        if os.path.exists(center_fn):
+            self.object_center = read_pickle(center_fn)
+        else:
+            pts = self._object_points()
+            self.object_center = (pts.max(0) + pts.min(0)) / 2
+            save_pickle(self.object_center, center_fn)
+
+        vert_fn = f'{self.prefix}/object_vert.pkl'
+        if os.path.exists(vert_fn):
+            self.object_vert = read_pickle(vert_fn)
+        else:
+            cams = np.stack([
+                -self.get_pose(i)[:3, :3].T @ self.get_pose(i)[:3, 3]
+                for i in self.get_img_ids()], 0)
+            self.object_vert = np.mean(cams - self.object_center[None], 0)
+            save_pickle(self.object_vert, vert_fn)
+
+        diam_fn = f'{self.prefix}/object_diameter.pkl'
+        if os.path.exists(diam_fn):
+            self.object_diameter = read_pickle(diam_fn)
+        else:
+            pts = self._object_points()
+            self.object_diameter = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+            save_pickle(self.object_diameter, diam_fn)
+
+    def _object_points(self):
+        """Union of depth-backprojected surface points over all views
+        (reference get_object_points, database.py:487-504)."""
+        fn = f'{DATA_ROOT}/gso_cache/{self.model_name}-pts.pkl'
+        if os.path.exists(fn):
+            return read_pickle(fn)
+        rng = np.random.RandomState(0)
+        all_pts = []
+        for img_id in self.get_img_ids():
+            depth = np.asarray(PILImage.open(
+                f'{self.prefix}/depth/{int(img_id):06}.png'),
+                np.float32) / 1000.0
+            mask = self._raw_mask(img_id)
+            pts = mask_depth_to_points(mask, depth, self._raw_K(img_id))
+            pose = self.get_pose(img_id)
+            # camera -> world
+            pts = (pts - pose[:3, 3]) @ pose[:3, :3]
+            idx = rng.permutation(len(pts))[:1024]
+            all_pts.append(pts[idx])
+        pts = np.concatenate(all_pts, 0)
+        save_pickle(pts, fn)
+        return pts
+
+    def _raw_mask(self, img_id):
+        return np.asarray(PILImage.open(
+            f'{self.prefix}/mask/{int(img_id):06}.png')) > 0
+
+    def _raw_K(self, img_id):
+        K = np.loadtxt(
+            f'{self.prefix}/intrinsics/{int(img_id):06}.txt').reshape(4, 4)
+        return K[:3, :3].astype(np.float32)
+
+    def _ratio(self):
+        return 1.0 if self.resolution == 'raw' else int(self.resolution) / 512.0
+
+    def get_image(self, img_id):
+        key = ('img', img_id)
+        if key not in self._img_cache:
+            img = imread(f'{self.prefix}/rgb/{int(img_id):06}.png')
+            mask = self._raw_mask(img_id)
+            if self.background == 'black':
+                img = img * mask[..., None].astype(np.uint8)
+            if self.resolution != 'raw':
+                r = int(self.resolution)
+                img = np.asarray(PILImage.fromarray(img).resize(
+                    (r, r), PILImage.BILINEAR))
+            self._img_cache[key] = img
+        return self._img_cache[key].copy()
+
+    def get_mask(self, img_id):
+        mask = self._raw_mask(img_id)
+        if self.resolution != 'raw':
+            r = int(self.resolution)
+            mask = np.asarray(PILImage.fromarray(
+                mask.astype(np.uint8)).resize((r, r), PILImage.NEAREST)) > 0
+        return mask
+
+    def get_K(self, img_id):
+        K = self._raw_K(img_id)
+        r = self._ratio()
+        return (np.diag([r, r, 1.0]) @ K).astype(np.float32)
+
+    def get_pose(self, img_id):
+        if img_id not in self._pose_cache:
+            # on disk: camera-to-world 4x4; we store world-to-camera [3,4]
+            p = np.loadtxt(
+                f'{self.prefix}/pose/{int(img_id):06}.txt').reshape(4, 4)[:3]
+            R = p[:3, :3].T
+            t = R @ -p[:3, 3:]
+            self._pose_cache[img_id] = np.concatenate([R, t], 1).astype(
+                np.float32)
+        return self._pose_cache[img_id].copy()
+
+    def get_img_ids(self):
+        return [str(i) for i in range(250)]
+
+
+CO3D_ROOT = f'{DATA_ROOT}/co3d'
+
+
+class Co3DResizeDatabase(BaseDatabase):
+    """Preprocessed CO3D crops (reference database.py:563-596).
+    Name: ``co3d_resize/<category>/<sequence>/<fg>_<bg>``; reads
+    ``info.pkl`` = (Ks, poses, img_ids, ratios) + images/ + masks/ dirs."""
+
+    def __init__(self, database_name):
+        super().__init__(database_name)
+        _, self.category, self.sequence, sizes = database_name.split('/')
+        self.fg_size, self.bg_size = (int(v) for v in sizes.split('_'))
+        root = Path(f'{CO3D_ROOT}_{self.fg_size}_{self.bg_size}'
+                    f'/{self.category}/{self.sequence}')
+        info = root / 'info.pkl'
+        if not info.exists():
+            raise FileNotFoundError(
+                f'{info}: Co3DResize databases require the preprocessed '
+                f'crops (reference database.py:570-577)')
+        self.Ks, self.poses, self.img_ids, self.ratios = read_pickle(str(info))
+        self.image_root = root / 'images'
+        self.mask_root = root / 'masks'
+
+    def get_image(self, img_id):
+        return imread(self.get_image_path(img_id))
+
+    def get_image_path(self, img_id):
+        return str(self.image_root / f'{img_id}.jpg')
+
+    def get_K(self, img_id):
+        return self.Ks[img_id].copy()
+
+    def get_pose(self, img_id):
+        return self.poses[img_id].copy()
+
+    def get_img_ids(self):
+        return self.img_ids
+
+    def get_mask(self, img_id):
+        return np.asarray(PILImage.open(
+            str(self.mask_root / f'{img_id}.png'))) > 0
+
+
+SHAPENET_RENDER_ROOT = f'{DATA_ROOT}/shapenet/shapenet_render'
+
+
+class ShapeNetRenderDatabase(BaseDatabase):
+    """ShapeNet renderings (reference database.py:600-665).
+    Name: ``shapenet/<category>/<model>/<render_setting>`` (e.g.
+    ``evenly-32-128``); reads ``<i>.png`` (RGBA; alpha = mask) and
+    ``<i>-camera.pkl`` = (pose, K), with cached camera/vert pickles."""
+
+    def __init__(self, database_name):
+        super().__init__(database_name)
+        _, self.category, self.model_name, self.render_setting = \
+            database_name.split('/')
+        self.render_num = int(self.render_setting.split('-')[1])
+        self.object_vert = np.asarray([0, 1, 0], np.float32)
+        self.prefix = (f'{SHAPENET_RENDER_ROOT}/{self.render_setting}'
+                       f'/{self.category}/{self.model_name}')
+
+        self._cams = {}
+        cache = Path(f'{DATA_ROOT}/shapenet/shapenet_cache/'
+                     f'{self.category}-{self.model_name}-'
+                     f'{self.render_setting}.pkl')
+        if cache.exists():
+            self._cams = read_pickle(str(cache))
+        else:
+            for i in self.get_img_ids():
+                self._camera(i)
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            save_pickle(self._cams, str(cache))
+
+        verts_cache = Path(f'{DATA_ROOT}/shapenet/shapenet_cache/'
+                           f'{self.category}-{self.model_name}-'
+                           f'{self.render_setting}-verts.pkl')
+        if verts_cache.exists():
+            (self.model_verts, self.object_center,
+             self.object_diameter) = read_pickle(str(verts_cache))
+        else:
+            # parsing ShapeNetCore meshes needs the raw dataset; the reference
+            # also requires the cache to exist (database.py:633-638)
+            raise FileNotFoundError(
+                f'{verts_cache}: ShapeNetRender databases require the '
+                f'cached model verts')
+
+    def _camera(self, img_id):
+        if img_id not in self._cams:
+            self._cams[img_id] = read_pickle(
+                f'{self.prefix}/{img_id}-camera.pkl')
+        return self._cams[img_id]
+
+    def get_image(self, img_id):
+        return np.asarray(PILImage.open(
+            f'{self.prefix}/{img_id}.png').convert('RGB'))
+
+    def get_K(self, img_id):
+        return np.copy(self._camera(img_id)[1])
+
+    def get_pose(self, img_id):
+        return np.copy(self._camera(img_id)[0])
+
+    def get_img_ids(self):
+        return [str(k) for k in range(self.render_num)]
+
+    def get_mask(self, img_id):
+        rgba = np.asarray(PILImage.open(f'{self.prefix}/{img_id}.png'))
+        if rgba.ndim == 3 and rgba.shape[2] == 4:
+            return rgba[..., 3] > 0
+        return rgba.sum(-1) > 0
+
+
 class SyntheticDatabase(BaseDatabase):
     """Procedural textured-solid captures (tests/benchmarks/training pool).
     Name format: ``synthetic/<n_views>[@<seed>][:<shape>[-<texture>]]``,
@@ -429,6 +678,9 @@ def parse_database_name(database_name: str) -> BaseDatabase:
         'linemod': LINEMODDatabase,
         'genmop': GenMOPDatabase,
         'custom': CustomDatabase,
+        'co3d_resize': Co3DResizeDatabase,
+        'shapenet': ShapeNetRenderDatabase,
+        'gso': GoogleScannedObjectDatabase,
         'synthetic': SyntheticDatabase,
     }
     database_type = database_name.split('/')[0]
@@ -468,6 +720,10 @@ def get_ref_point_cloud(database):
         return database.meta_info.object_point_cloud
     if isinstance(database, CustomDatabase):
         return database.object_point_cloud
+    if isinstance(database, GoogleScannedObjectDatabase):
+        return database._object_points()
+    if isinstance(database, ShapeNetRenderDatabase):
+        return database.model_verts
     if isinstance(database, SyntheticDatabase):
         return database.scene.point_cloud
     if isinstance(database, NormalizedDatabase):
@@ -483,6 +739,9 @@ def get_diameter(database):
         return np.loadtxt(f'{LINEMOD_ROOT}/{model_name}/distance.txt') / 100
     if isinstance(database, (GenMOPDatabase, CustomDatabase)):
         return 2.0
+    if isinstance(database, (GoogleScannedObjectDatabase,
+                             ShapeNetRenderDatabase)):
+        return database.object_diameter
     if isinstance(database, SyntheticDatabase):
         return database.scene.diameter
     if isinstance(database, NormalizedDatabase):
@@ -498,6 +757,9 @@ def get_object_center(database):
         return database.meta_info.center
     if isinstance(database, CustomDatabase):
         return database.center
+    if isinstance(database, (GoogleScannedObjectDatabase,
+                             ShapeNetRenderDatabase)):
+        return database.object_center
     if isinstance(database, SyntheticDatabase):
         return database.scene.center
     if isinstance(database, NormalizedDatabase):
@@ -511,6 +773,9 @@ def get_object_vert(database):
         return database.object_vert
     if isinstance(database, (GenMOPDatabase, CustomDatabase)):
         return np.asarray([0, 0, 1], np.float32)
+    if isinstance(database, (GoogleScannedObjectDatabase,
+                             ShapeNetRenderDatabase)):
+        return database.object_vert
     if isinstance(database, SyntheticDatabase):
         return database.scene.vert
     raise NotImplementedError

@@ -102,8 +102,13 @@ def build_name2database_names():
                           ('ape', 'can', 'holepuncher', 'iron', 'phone')],
         'genmop_train': [f'genmop/{n}-test' for n in
                          ('cup', 'knife', 'love', 'plug_cn', 'miffy')],
-        'synthetic_train': [f'synthetic/96@{s}' for s in range(4)],
-        'synthetic_val': ['synthetic/48@100'],
+        # the procedural multi-object pool (GSO/ShapeNet stand-in); these
+        # resolve to real databases (gen6d_tpu/train/datasets.py scene lists)
+        'synthetic_train': [f'synthetic/64@{i+1}:{st}' for i, st in enumerate(
+            ('cuboid-checks', 'oct-stripes', 'prism-noise', 'ico-blobs',
+             'tet-checks', 'slab-stripes', 'cube-stripes', 'cuboid-noise'))],
+        'synthetic_val': ['synthetic/64@9:prism-blobs'],
+        'synthetic_test': ['synthetic/64'],
     }
 
 

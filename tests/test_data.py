@@ -232,3 +232,95 @@ class TestEvalSplits:
         src = inspect.getsource(E.evaluate)
         assert "'synthetic_split'" in src.split('ref_split =')[1].split('\n')[1] or \
                'synthetic_split' in src.split('ref_split =')[1][:200]
+
+
+class TestTrainingDatabases:
+    """GSO / ShapeNetRender database classes on fabricated fixture dirs in
+    the reference's on-disk formats (dataset/database.py:412-549,600-665)."""
+
+    def _make_gso(self, root, n=4):
+        from gen6d_tpu.data.synthetic import SyntheticScene
+        from PIL import Image
+        scene = SyntheticScene(n_views=n, hw=(128, 128), f=140.0, dist=3.3)
+        obj = root / 'google_scanned_objects' / 'toy'
+        for sub in ('rgb', 'mask', 'depth', 'intrinsics', 'pose'):
+            (obj / sub).mkdir(parents=True)
+        K44 = np.eye(4)
+        K44[:3, :3] = scene.K
+        for i in range(n):
+            img, mask = scene.render(i)
+            Image.fromarray(img).save(obj / 'rgb' / f'{i:06}.png')
+            Image.fromarray((mask * 255).astype(np.uint8)).save(
+                obj / 'mask' / f'{i:06}.png')
+            # constant depth at the object distance (mm), masked
+            pose = scene.poses[i]
+            cam = -pose[:3, :3].T @ pose[:3, 3]
+            d_mm = np.zeros((128, 128), np.uint16)
+            d_mm[mask] = int(np.linalg.norm(cam) * 1000)
+            Image.fromarray(d_mm).save(obj / 'depth' / f'{i:06}.png')
+            np.savetxt(obj / 'intrinsics' / f'{i:06}.txt', K44.reshape(-1))
+            # on disk: camera-to-world
+            c2w = np.eye(4)
+            c2w[:3, :3] = pose[:3, :3].T
+            c2w[:3, 3] = cam
+            np.savetxt(obj / 'pose' / f'{i:06}.txt', c2w.reshape(-1))
+        return scene
+
+    def test_gso_database(self, tmp_path, monkeypatch):
+        import gen6d_tpu.data.database as dbm
+        scene = self._make_gso(tmp_path)
+        monkeypatch.setattr(dbm, 'GSO_ROOT',
+                            str(tmp_path / 'google_scanned_objects'))
+        monkeypatch.setattr(dbm, 'DATA_ROOT', str(tmp_path))
+
+        class FourViews(dbm.GoogleScannedObjectDatabase):
+            def get_img_ids(self):
+                return [str(i) for i in range(4)]
+
+        db = FourViews('gso/toy/white_raw')
+        img = db.get_image('0')
+        assert img.shape == (128, 128, 3)
+        assert db.get_mask('1').any()
+        # world->camera pose round-trips the renderer's pose
+        np.testing.assert_allclose(db.get_pose('2'), scene.poses[2], atol=1e-5)
+        np.testing.assert_allclose(db.get_K('0'), scene.K, atol=1e-4)
+        assert np.isfinite(db.object_diameter) and db.object_diameter > 0
+        assert np.all(np.isfinite(db.object_center))
+        # resized variant rescales K by resolution/512 (real GSO renders are
+        # 512^2; the fixture is 128^2, so only the ratio semantics are checked)
+        db64 = FourViews('gso/toy/black_64')
+        assert db64.get_image('0').shape == (64, 64, 3)
+        np.testing.assert_allclose(db64.get_K('0')[0, 0],
+                                   scene.K[0, 0] * 64 / 512, rtol=1e-5)
+
+    def test_shapenet_database(self, tmp_path, monkeypatch):
+        import pickle
+        import gen6d_tpu.data.database as dbm
+        from gen6d_tpu.data.synthetic import SyntheticScene
+        from PIL import Image
+        scene = SyntheticScene(n_views=4, hw=(128, 128), f=140.0, dist=3.3)
+        setting = 'evenly-4-128'
+        obj = tmp_path / 'shapenet' / 'shapenet_render' / setting / 'cat' / 'm0'
+        obj.mkdir(parents=True)
+        for i in range(4):
+            img, mask = scene.render(i)
+            rgba = np.concatenate([img, (mask * 255).astype(np.uint8)[..., None]],
+                                  -1)
+            Image.fromarray(rgba).save(obj / f'{i}.png')
+            with open(obj / f'{i}-camera.pkl', 'wb') as f:
+                pickle.dump((scene.poses[i], scene.K), f)
+        cache = tmp_path / 'shapenet' / 'shapenet_cache'
+        cache.mkdir(parents=True)
+        verts = scene.point_cloud
+        with open(cache / f'cat-m0-{setting}-verts.pkl', 'wb') as f:
+            pickle.dump([verts, verts.mean(0), float(scene.diameter)], f)
+        monkeypatch.setattr(dbm, 'SHAPENET_RENDER_ROOT',
+                            str(tmp_path / 'shapenet' / 'shapenet_render'))
+        monkeypatch.setattr(dbm, 'DATA_ROOT', str(tmp_path))
+
+        db = dbm.ShapeNetRenderDatabase(f'shapenet/cat/m0/{setting}')
+        assert db.get_image('0').shape == (128, 128, 3)
+        assert db.get_mask('1').any()
+        np.testing.assert_allclose(db.get_pose('3'), scene.poses[3], atol=1e-6)
+        assert dbm.get_diameter(db) > 0
+        assert dbm.get_ref_point_cloud(db).shape[0] == verts.shape[0]
