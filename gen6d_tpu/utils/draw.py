@@ -138,3 +138,24 @@ def draw_pose_bbox(img, pose, K, object_pts, color=(0, 0, 255)):
     corners = pts_range_to_bbox_pts(max_pt, min_pt)
     pts2d, _ = project_points(corners, pose, K)
     return draw_bbox_3d(img, np.asarray(pts2d), color)
+
+
+def draw_histogram(values, bins=32, hw=(120, 240), color=(80, 160, 255),
+                   bg=(255, 255, 255)):
+    """Render a value histogram as an image (reference utils/draw_utils.py
+    histogram helpers; debug visualization)."""
+    values = np.asarray(values, np.float64).reshape(-1)
+    h, w = hw
+    img = np.full([h, w, 3], bg, np.uint8)
+    if values.size == 0:
+        return img
+    counts, _ = np.histogram(values, bins=bins)
+    peak = max(int(counts.max()), 1)
+    bw = max(w // bins, 1)
+    for i, c in enumerate(counts):
+        bh = int(round((h - 2) * c / peak))
+        if bh <= 0:
+            continue
+        x0 = i * bw
+        img[h - 1 - bh:h - 1, x0:min(x0 + bw - 1, w)] = color
+    return img
