@@ -63,14 +63,17 @@ def run_sfm(image_dir, project_dir, colmap_path='colmap', same_camera=True,
 
 
 def prepare_validation_set(ref_database_name, que_database_name, ref_split,
-                           que_split, estimator_cfg, out_root='data/val'):
+                           que_split, estimator_cfg, out_root='data/val',
+                           estimator=None):
     """Cache det/sel predictions for the refiner val dataset
-    (reference prepare.py:44-71)."""
+    (reference prepare.py:44-71). ``estimator`` overrides the config path
+    (tests pass a small pre-built estimator)."""
     ref_database = dbm.parse_database_name(ref_database_name)
     que_database = dbm.parse_database_name(que_database_name)
     _, que_ids = dbm.get_database_split(que_database, que_split)
 
-    estimator = load_estimator(estimator_cfg)
+    if estimator is None:
+        estimator = load_estimator(estimator_cfg)
     estimator.refiner = None  # detection+selection only
     estimator.build(ref_database, split_type=ref_split)
 

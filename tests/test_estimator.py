@@ -192,3 +192,45 @@ class TestPredict:
         pose, inter = est.predict(img, db.scene.K, pose_init=db.scene.poses[2])
         assert 'det_position' not in inter
         assert np.all(np.isfinite(pose))
+
+    def test_predict_batch_view_sharded(self, built_estimator):
+        """The fused program with view-sharded reference caches (the
+        reference-view parallel axis, SURVEY.md §2.10) must reproduce the
+        single-device result."""
+        import jax
+        from gen6d_tpu.parallel.sharding import make_mesh
+        est, db = built_estimator
+        mesh = make_mesh(jax.devices()[:4], dp=2, view=2)
+        imgs = np.stack([db.scene.render(i)[0] for i in (0, 5)], 0)
+        Ks = np.stack([db.scene.K] * 2, 0)
+        ref = est.predict_batch(imgs, Ks)
+        with mesh:
+            sharded = est.predict_batch(imgs, Ks, mesh=mesh, shard_views=True)
+        np.testing.assert_allclose(sharded, ref, atol=1e-3)
+
+
+class TestGenValSetRoundTrip:
+    def test_prepare_then_refiner_val(self, models, tmp_path, monkeypatch):
+        """gen_val_set caches det/sel predictions; RefinerValData consumes
+        them (reference prepare.py:44-71 -> train_dataset.py:1475-1581)."""
+        from gen6d_tpu.cli.prepare import prepare_validation_set
+        from gen6d_tpu.train.datasets import RefinerValData
+        det, sel, refi = models
+        est = Gen6DEstimator({'ref_view_num': 8, 'det_ref_view_num': 4,
+                              'refine_even_num': 16, 'refine_iter': 1},
+                             detector=det, selector=sel, refiner=None)
+        name = 'synthetic/16'
+        out_root = str(tmp_path / 'val')
+        det_info, sel_info = prepare_validation_set(
+            name, name, 'synthetic_split', 'synthetic_split', None,
+            out_root=out_root, estimator=est)
+        assert len(det_info) == 4  # 16 views -> every 4th is a query
+
+        rv = RefinerValData(name, ref_split='synthetic_split',
+                            val_root=out_root, ref_num=4, ref_even_num=8)
+        assert len(rv) == 4
+        batch = rv.batch(np.arange(2))
+        assert batch['que_imgs'].shape == (2, 128, 128, 3)
+        assert batch['ref_imgs'].shape == (2, 4, 128, 128, 3)
+        for v in batch.values():
+            assert np.all(np.isfinite(np.asarray(v)))
