@@ -72,7 +72,14 @@ class SyntheticTrainData:
 
     def __init__(self, database=None, n_views=64, ref_num=32, size=128,
                  margin=0.05, seed=0, scenes=None, augment=True,
-                 distractors=True):
+                 distractors=True, ref_scale_noise=0.3, ref_rot_noise=15.0,
+                 ref_off_std=4.0):
+        # refiner input-pose noise basin (reference train_dataset.py:1274-1293
+        # uses 2^+-0.3 / +-15deg / N(0,4)px); configurable so the basin can be
+        # widened to cover the measured detector+selector initialization error
+        self.ref_scale_noise = float(ref_scale_noise)
+        self.ref_rot_noise = float(ref_rot_noise)
+        self.ref_off_std = float(ref_off_std)
         if database is not None:
             dbs = [database]
         else:
@@ -384,8 +391,9 @@ class SyntheticTrainData:
     def ref_batch(self, key, qn=2, ref_num=6):
         """-> refiner train-step batch (train_dataset.py:1243-1396 semantics,
         device-side): input pose = nearby view (top-8 by correlation), query
-        warped to look at the input pose with scale 2^[-0.3,0.3] / rot +-15deg /
-        offset N(0,4) noise; GT = approximate_rigid_to_similarity."""
+        warped to look at the input pose with scale 2^[-s,s] / rot +-r deg /
+        offset N(0,o) noise (``ref_scale_noise``/``ref_rot_noise``/
+        ``ref_off_std``); GT = approximate_rigid_to_similarity."""
         fn = self._jit('ref', self._ref_batch_impl, static=(2, 3))
         return fn(key, self.pool, qn, ref_num)
 
@@ -398,11 +406,12 @@ class SyntheticTrainData:
         keys = jax.random.split(key, 8)
         si = self._rand_scene(keys[0])
         vi = jax.random.randint(keys[1], (qn,), 0, pool['imgs'].shape[1])
-        scale_aug = 2.0 ** jax.random.uniform(keys[2], (qn,), minval=-0.3,
-                                              maxval=0.3)
-        rot_aug = jnp.deg2rad(jax.random.uniform(keys[3], (qn,), minval=-15.0,
-                                                 maxval=15.0))
-        off_aug = 4.0 * jax.random.normal(keys[4], (qn, 2))
+        sn, rn = self.ref_scale_noise, self.ref_rot_noise
+        scale_aug = 2.0 ** jax.random.uniform(keys[2], (qn,), minval=-sn,
+                                              maxval=sn)
+        rot_aug = jnp.deg2rad(jax.random.uniform(keys[3], (qn,), minval=-rn,
+                                                 maxval=rn))
+        off_aug = self.ref_off_std * jax.random.normal(keys[4], (qn, 2))
         pick = jax.random.randint(keys[5], (qn,), 0, 8)
 
         poses_norm = pool['poses_norm'][si]
