@@ -51,6 +51,8 @@ class Gen6DEstimator:
         'refine_even_num': 128,
         'refine_size': 128,
         'refine_margin': 0.05,
+        # log2-scale calibration of the detector decode (see _decode_det)
+        'det_scale_correction': 0.0,
     }
 
     def __init__(self, cfg=None, detector=None, selector=None, refiner=None):
@@ -151,15 +153,26 @@ class Gen6DEstimator:
             })
 
     # ---------------------------------------------------------------- stages
+    def _decode_det(self, out):
+        """parse_detection + optional scale calibration:
+        ``cfg['det_scale_correction']`` (log2 units) compensates a measured
+        systematic bias of the detector scale head on the serving path (fit on
+        TRAINING objects by scripts/calibrate_det_scale.py; no analogue in the
+        reference, whose pretrained detector is unbiased)."""
+        pos, scale = parse_detection(out['scores'], out['select_pr_scale'],
+                                     out['select_pr_offset'])
+        corr = float(self.cfg.get('det_scale_correction', 0.0))
+        if corr:
+            scale = scale * (2.0 ** corr)
+        return pos, scale
+
     def _detect_fn(self):
         det = self.detector
 
         @jax.jit
         def run(params, que_imgs, ref_feats):
             out = det.apply(params, que_imgs, ref_feats, method='detect')
-            pos, scale = parse_detection(out['scores'], out['select_pr_scale'],
-                                         out['select_pr_offset'])
-            return pos, scale
+            return self._decode_det(out)
         return run
 
     def _select_fn(self):
@@ -278,8 +291,7 @@ class Gen6DEstimator:
             qn = que_imgs.shape[0]
             out = det.apply(det_params, que_imgs, ref_info['det_ref_feats'],
                             method='detect')
-            positions, scales = parse_detection(
-                out['scores'], out['select_pr_scale'], out['select_pr_offset'])
+            positions, scales = self._decode_det(out)
 
             def crop_one(img, pos, scl):
                 M = t2d.crop_transform_2d(pos, 1.0 / scl, 0.0, size)

@@ -29,14 +29,18 @@ def _freeze_bn_grads(grads):
     return walk(grads) if isinstance(grads, dict) else grads
 
 
-def make_detector_train_step(detector, optimizer, jit_kwargs=None):
+def make_detector_train_step(detector, optimizer, jit_kwargs=None,
+                             scale_ratio=1.0):
+    """``scale_ratio`` weights the log2-scale regression term (the reference's
+    DetectionOffsetAndScaleLoss scale_ratio cfg, loss.py:56); >1 counteracts
+    the scale head's shrinkage toward the augmentation prior mean."""
     def loss_fn(params, batch):
         out = detector.apply(params, batch['ref_imgs'], batch['que_imgs'])
         loss_cls = L.detection_score_loss(out['scores'], batch['cens'],
                                           out['pool_ratio'])
         loss_offset, loss_scale = L.detection_offset_scale_loss(
             out['select_pr_offset'], out['select_pr_scale'], batch['cens'],
-            batch['scale_diff'], out['pool_ratio'])
+            batch['scale_diff'], out['pool_ratio'], scale_ratio=scale_ratio)
         metrics = {'loss_cls': loss_cls, 'loss_offset': loss_offset,
                    'loss_scale': loss_scale}
         return _sum_losses(metrics), metrics

@@ -97,9 +97,21 @@ class Trainer:
         makers = {'detector': make_detector_train_step,
                   'selector': make_selector_train_step,
                   'refiner': make_refiner_train_step}
-        self.train_step = makers[net_name](self.network, self.optimizer)
+        maker_kwargs = {}
+        if net_name == 'detector' and 'scale_ratio' in self.cfg:
+            maker_kwargs['scale_ratio'] = float(self.cfg['scale_ratio'])
+        self.train_step = makers[net_name](self.network, self.optimizer,
+                                           **maker_kwargs)
         self._init_state()
         self.ckpt = ocp.StandardCheckpointer()
+        # fine-tune: initialize params (not optimizer/step) from another run's
+        # checkpoint; a later resume checkpoint in model_dir takes precedence
+        init_from = self.cfg.get('init_from')
+        if init_from and not os.path.exists(
+                os.path.join(self.model_dir, 'model')):
+            self.params = self.ckpt.restore(os.path.abspath(init_from),
+                                            self.params)
+            print(f'initialized params from {init_from}')
 
     def _batch(self, key, data=None):
         qn = self.cfg['batch_size']
