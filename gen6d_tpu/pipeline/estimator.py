@@ -53,6 +53,12 @@ class Gen6DEstimator:
         'refine_margin': 0.05,
         # log2-scale calibration of the detector decode (see _decode_det)
         'det_scale_correction': 0.0,
+        # log2-scale calibration of the refiner's similarity update: the
+        # from-scratch refiner's scale head carries a conditional bias at
+        # near-identity inputs (measured ~-0.075 via scripts/
+        # calibrate_refine_scale.py on TRAIN objects), which compounds across
+        # refine iterations into a divergent depth drift
+        'refine_scale_correction': 0.0,
     }
 
     def __init__(self, cfg=None, detector=None, selector=None, refiner=None):
@@ -260,9 +266,11 @@ class Gen6DEstimator:
           norm_offset)
         out = self.refiner.apply(params, que_warp, que_K_warp, in_pose_warp,
                                  ref_crops, ref_pose_new, ref_K_new)
+        scale_log2 = (out['scale'][:, 0] +
+                      float(self.cfg.get('refine_scale_correction', 0.0)))
         return jax.vmap(self._refine_compose, in_axes=(0, 0, 0, 0, 0, 0, None,
                                                        None))(
-            out['rotation'], 2.0 ** out['scale'][:, 0], out['offset'],
+            out['rotation'], 2.0 ** scale_log2, out['offset'],
             in_pose_warp, que_K_warp, que_pose_rect, norm_scale, norm_offset)
 
     def _refine_fn(self):

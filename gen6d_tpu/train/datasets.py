@@ -73,13 +73,14 @@ class SyntheticTrainData:
     def __init__(self, database=None, n_views=64, ref_num=32, size=128,
                  margin=0.05, seed=0, scenes=None, augment=True,
                  distractors=True, ref_scale_noise=0.3, ref_rot_noise=15.0,
-                 ref_off_std=4.0):
+                 ref_off_std=4.0, ref_narrow_frac=0.0):
         # refiner input-pose noise basin (reference train_dataset.py:1274-1293
         # uses 2^+-0.3 / +-15deg / N(0,4)px); configurable so the basin can be
         # widened to cover the measured detector+selector initialization error
         self.ref_scale_noise = float(ref_scale_noise)
         self.ref_rot_noise = float(ref_rot_noise)
         self.ref_off_std = float(ref_off_std)
+        self.ref_narrow_frac = float(ref_narrow_frac)
         if database is not None:
             dbs = [database]
         else:
@@ -407,11 +408,18 @@ class SyntheticTrainData:
         si = self._rand_scene(keys[0])
         vi = jax.random.randint(keys[1], (qn,), 0, pool['imgs'].shape[1])
         sn, rn = self.ref_scale_noise, self.ref_rot_noise
-        scale_aug = 2.0 ** jax.random.uniform(keys[2], (qn,), minval=-sn,
-                                              maxval=sn)
-        rot_aug = jnp.deg2rad(jax.random.uniform(keys[3], (qn,), minval=-rn,
-                                                 maxval=rn))
-        off_aug = self.ref_off_std * jax.random.normal(keys[4], (qn, 2))
+        # noise-scale mixture: with prob ref_narrow_frac draw from a 0.3x
+        # narrower basin, so one parameter set serves both the first
+        # (coarse-error) and the later (polish) refinement iterations —
+        # uniform wide noise alone leaves a noisy iteration fixed point
+        nf = jax.random.bernoulli(keys[7], self.ref_narrow_frac, (qn,))
+        mult = jnp.where(nf, 0.3, 1.0)
+        scale_aug = 2.0 ** (mult * jax.random.uniform(keys[2], (qn,),
+                                                      minval=-sn, maxval=sn))
+        rot_aug = jnp.deg2rad(mult * jax.random.uniform(keys[3], (qn,),
+                                                        minval=-rn, maxval=rn))
+        off_aug = (mult[:, None] * self.ref_off_std *
+                   jax.random.normal(keys[4], (qn, 2)))
         pick = jax.random.randint(keys[5], (qn,), 0, 8)
 
         poses_norm = pool['poses_norm'][si]

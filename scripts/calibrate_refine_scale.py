@@ -1,0 +1,82 @@
+"""Fit the refiner's serving-path scale calibration constant.
+
+At a ground-truth pose initialization the refiner should predict the identity
+similarity (log2 scale 0); the from-scratch refiner instead carries a
+conditional scale bias there, which compounds across refinement iterations
+into a divergent depth drift. This script measures the bias on TRAINING
+objects only (leakage-free): for each train scene it feeds GT poses of the
+query half of ``synthetic_split`` through the real serving prewarp +
+refiner network and records the predicted log2 scale.
+
+Prints per-scene means and the recommended ``refine_scale_correction``
+(the negated pooled mean) for the estimator config.
+
+Usage: python scripts/calibrate_refine_scale.py [--cfg configs/gen6d_synthetic.yaml]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--cfg', default='configs/gen6d_synthetic.yaml')
+    ap.add_argument('--scenes', nargs='*', default=None)
+    ap.add_argument('--n_views', type=int, default=128)
+    ap.add_argument('--per_scene', type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from gen6d_tpu.data import database as dbm
+    from gen6d_tpu.pipeline.loader import load_estimator
+    from gen6d_tpu.train.datasets import DEFAULT_TRAIN_SCENES
+
+    scenes = args.scenes or [
+        f'synthetic/{args.n_views}@{s.partition("@")[2]}:{s.partition("@")[0]}'
+        for s in DEFAULT_TRAIN_SCENES]
+
+    est = load_estimator(args.cfg)
+
+    def raw_scale(params, que_imgs, que_Ks, poses_in, ri, rp, rk, ns, no):
+        (que_warp, que_K_warp, in_pose_warp, _, ref_crops, ref_pose_new,
+         ref_K_new) = jax.vmap(
+            est._refine_prewarp, in_axes=(0, 0, 0, None, None, None, None,
+                                          None))(
+            que_imgs, que_Ks, poses_in, ri, rp, rk, ns, no)
+        out = est.refiner.apply(params, que_warp, que_K_warp, in_pose_warp,
+                                ref_crops, ref_pose_new, ref_K_new)
+        return out['scale'][:, 0]
+
+    fwd = jax.jit(raw_scale)
+    all_s = []
+    for scene in scenes:
+        db = dbm.parse_database_name(scene)
+        est.build(db, 'synthetic_split')
+        ref = est.ref_info
+        _, que_ids = dbm.get_database_split(db, 'synthetic_split')
+        que_ids = que_ids[:args.per_scene]
+        imgs = jnp.asarray(np.stack([db.get_image(i) for i in que_ids],
+                                    0).astype(np.float32) / 255.0)
+        Ks = jnp.asarray(np.stack([db.get_K(i) for i in que_ids], 0))
+        gts = jnp.asarray(np.stack([db.get_pose(i) for i in que_ids], 0),
+                          jnp.float32)
+        s = np.asarray(fwd(est.refiner_params, imgs, Ks, gts,
+                           ref['refine_imgs'], ref['refine_poses'],
+                           ref['refine_Ks'], ref['norm_scale'],
+                           ref['norm_offset']), np.float64)
+        all_s.append(s)
+        print(f'{scene}: n={len(s)} mean {s.mean():+.4f} std {s.std():.4f}')
+
+    pooled = np.concatenate(all_s)
+    print(f'pooled: n={len(pooled)} mean {pooled.mean():+.4f} '
+          f'median {np.median(pooled):+.4f}')
+    print(f'recommended refine_scale_correction: {-pooled.mean():+.4f}')
+
+
+if __name__ == '__main__':
+    main()
