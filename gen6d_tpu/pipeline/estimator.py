@@ -59,6 +59,9 @@ class Gen6DEstimator:
         # calibrate_refine_scale.py on TRAIN objects), which compounds across
         # refine iterations into a divergent depth drift
         'refine_scale_correction': 0.0,
+        # w-first quaternion undoing the refiner rotation head's systematic
+        # near-identity bias (same calibration script); None = identity
+        'refine_rot_correction': None,
     }
 
     def __init__(self, cfg=None, detector=None, selector=None, refiner=None):
@@ -268,9 +271,17 @@ class Gen6DEstimator:
                                  ref_crops, ref_pose_new, ref_K_new)
         scale_log2 = (out['scale'][:, 0] +
                       float(self.cfg.get('refine_scale_correction', 0.0)))
+        quat = out['rotation']
+        rot_corr = self.cfg.get('refine_rot_correction')
+        if rot_corr is not None:
+            # left-compose the inverse bias: q_pred ~ q_bias o q_true at
+            # identity, so R_eff = R_bias^T @ R_pred
+            from gen6d_tpu.geometry.rotations import mat_to_quat, quat_to_mat
+            R_corr = quat_to_mat(jnp.asarray(rot_corr, jnp.float32)).T
+            quat = mat_to_quat(R_corr[None] @ quat_to_mat(quat))
         return jax.vmap(self._refine_compose, in_axes=(0, 0, 0, 0, 0, 0, None,
                                                        None))(
-            out['rotation'], 2.0 ** scale_log2, out['offset'],
+            quat, 2.0 ** scale_log2, out['offset'],
             in_pose_warp, que_K_warp, que_pose_rect, norm_scale, norm_offset)
 
     def _refine_fn(self):

@@ -42,7 +42,7 @@ def main():
 
     est = load_estimator(args.cfg)
 
-    def raw_scale(params, que_imgs, que_Ks, poses_in, ri, rp, rk, ns, no):
+    def raw_out(params, que_imgs, que_Ks, poses_in, ri, rp, rk, ns, no):
         (que_warp, que_K_warp, in_pose_warp, _, ref_crops, ref_pose_new,
          ref_K_new) = jax.vmap(
             est._refine_prewarp, in_axes=(0, 0, 0, None, None, None, None,
@@ -50,10 +50,11 @@ def main():
             que_imgs, que_Ks, poses_in, ri, rp, rk, ns, no)
         out = est.refiner.apply(params, que_warp, que_K_warp, in_pose_warp,
                                 ref_crops, ref_pose_new, ref_K_new)
-        return out['scale'][:, 0]
+        return out['scale'][:, 0], out['rotation']
 
-    fwd = jax.jit(raw_scale)
+    fwd = jax.jit(raw_out)
     all_s = []
+    all_q = []
     for scene in scenes:
         db = dbm.parse_database_name(scene)
         est.build(db, 'synthetic_split')
@@ -65,17 +66,28 @@ def main():
         Ks = jnp.asarray(np.stack([db.get_K(i) for i in que_ids], 0))
         gts = jnp.asarray(np.stack([db.get_pose(i) for i in que_ids], 0),
                           jnp.float32)
-        s = np.asarray(fwd(est.refiner_params, imgs, Ks, gts,
-                           ref['refine_imgs'], ref['refine_poses'],
-                           ref['refine_Ks'], ref['norm_scale'],
-                           ref['norm_offset']), np.float64)
+        s, q = fwd(est.refiner_params, imgs, Ks, gts,
+                   ref['refine_imgs'], ref['refine_poses'],
+                   ref['refine_Ks'], ref['norm_scale'], ref['norm_offset'])
+        s = np.asarray(s, np.float64)
+        q = np.asarray(q, np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q[q[:, 0] < 0] *= -1
         all_s.append(s)
-        print(f'{scene}: n={len(s)} mean {s.mean():+.4f} std {s.std():.4f}')
+        all_q.append(q)
+        ang = 2 * np.degrees(np.arccos(np.clip(q[:, 0], -1, 1)))
+        print(f'{scene}: n={len(s)} scale mean {s.mean():+.4f} '
+              f'std {s.std():.4f}  rot deg mean {ang.mean():.2f} '
+              f'axis {np.round(np.mean(q[:, 1:], 0), 4)}')
 
     pooled = np.concatenate(all_s)
-    print(f'pooled: n={len(pooled)} mean {pooled.mean():+.4f} '
+    qm = np.mean(np.concatenate(all_q), 0)
+    qm /= np.linalg.norm(qm)
+    print(f'pooled: n={len(pooled)} scale mean {pooled.mean():+.4f} '
           f'median {np.median(pooled):+.4f}')
     print(f'recommended refine_scale_correction: {-pooled.mean():+.4f}')
+    print('recommended refine_rot_correction (mean bias quat, w-first): '
+          f'[{qm[0]:.6f}, {qm[1]:.6f}, {qm[2]:.6f}, {qm[3]:.6f}]')
 
 
 if __name__ == '__main__':
