@@ -50,12 +50,16 @@ def profile_stages(est, imgs, Ks, batch):
 
     sel = jax.jit(_crop_sel)
 
-    def _refine(rp, q, k, poses):
-        return est._refine_iter_batch(rp, q, k, poses, ref['refine_imgs'],
-                                      ref['refine_poses'], ref['refine_Ks'],
-                                      ref['norm_scale'], ref['norm_offset'])
+    # ref stacks must be jit ARGS, not closed-over constants (HTTP 413 from
+    # the remote compile service otherwise; see .claude/skills/verify)
+    _refine_raw = jax.jit(lambda rp, q, k, poses, ri, rpo, rk, ns, no:
+                          est._refine_iter_batch(rp, q, k, poses, ri, rpo,
+                                                 rk, ns, no))
 
-    refine = jax.jit(_refine)
+    def refine(rp, q, k, poses):
+        return _refine_raw(rp, q, k, poses, ref['refine_imgs'],
+                           ref['refine_poses'], ref['refine_Ks'],
+                           ref['norm_scale'], ref['norm_offset'])
 
     out = det(est.detector_params, que, ref['det_ref_feats'])
     pos, scl = parse_detection(out['scores'], out['select_pr_scale'],
