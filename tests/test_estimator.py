@@ -234,3 +234,46 @@ class TestGenValSetRoundTrip:
         assert batch['ref_imgs'].shape == (2, 4, 128, 128, 3)
         for v in batch.values():
             assert np.all(np.isfinite(np.asarray(v)))
+
+
+class TestServingCalibrations:
+    """The det/refine calibration hooks (cfg['det_scale_correction'],
+    cfg['refine_scale_correction'], cfg['refine_rot_correction']) — pure
+    decode-side math, tested without networks."""
+
+    def _bare(self, cfg):
+        from gen6d_tpu.pipeline.estimator import Gen6DEstimator
+        est = Gen6DEstimator.__new__(Gen6DEstimator)
+        est.cfg = {**Gen6DEstimator.default_cfg, **cfg}
+        return est
+
+    def test_det_scale_correction_scales_decode(self):
+        import jax.numpy as jnp
+        import numpy as np
+        est0 = self._bare({})
+        est1 = self._bare({'det_scale_correction': -0.5})
+        qn, h, w = 2, 4, 5
+        rng = np.random.RandomState(0)
+        out = {'scores': jnp.asarray(rng.randn(qn, h, w, 1), jnp.float32),
+               'select_pr_scale': jnp.asarray(rng.randn(qn, h, w, 1),
+                                              jnp.float32),
+               'select_pr_offset': jnp.zeros((qn, h, w, 2), jnp.float32)}
+        p0, s0 = est0._decode_det(out)
+        p1, s1 = est1._decode_det(out)
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0) * 2 ** -0.5,
+                                   rtol=1e-5)
+
+    def test_refine_rot_correction_undoes_bias(self):
+        # q_pred == bias quat -> corrected rotation is identity
+        import jax.numpy as jnp
+        import numpy as np
+        from gen6d_tpu.geometry.rotations import mat_to_quat, quat_to_mat
+        bias = np.asarray([0.999717, 0.017072, 0.015171, -0.006677])
+        bias = bias / np.linalg.norm(bias)
+        R_corr = quat_to_mat(jnp.asarray(bias, jnp.float32)).T
+        R_eff = np.asarray(R_corr @ quat_to_mat(jnp.asarray(bias, jnp.float32)))
+        np.testing.assert_allclose(R_eff, np.eye(3), atol=1e-5)
+        # and mat_to_quat of the corrected matrix is the identity quat
+        q = np.asarray(mat_to_quat(jnp.asarray(R_eff)))
+        np.testing.assert_allclose(q, [1, 0, 0, 0], atol=1e-4)
