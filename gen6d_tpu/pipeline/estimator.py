@@ -153,8 +153,13 @@ class Gen6DEstimator:
                                                         with_masks=False)
             poses_e = np.asarray(jax.vmap(normalize_pose, in_axes=(0, None, None))(
                 jnp.asarray(poses_e), norm_scale, jnp.asarray(norm_offset)))
+            # stored uint8: the refine prewarp gathers (qn, ref_num) full-res
+            # views per iteration — u8 cuts that HBM stream 4x vs f32 (the
+            # dominant cost of the refine stage per the round-2 trace,
+            # docs/profile.md); converted to f32 after the view gather
             self.ref_info.update({
-                'refine_imgs': jnp.asarray(imgs_e),
+                'refine_imgs': jnp.asarray(
+                    np.clip(np.asarray(imgs_e) * 255, 0, 255).astype(np.uint8)),
                 'refine_poses': jnp.asarray(poses_e),
                 'refine_Ks': jnp.asarray(Ks_e),
                 'norm_scale': norm_scale,
@@ -238,6 +243,8 @@ class Gen6DEstimator:
         corr = view_correlation(in_pose_warp[None], ref_poses, center)[0]
         _, top_idx = jax.lax.top_k(corr, ref_num)
         sel_imgs = ref_imgs[top_idx]
+        if sel_imgs.dtype == jnp.uint8:  # u8 storage (see build)
+            sel_imgs = sel_imgs.astype(jnp.float32) / 255.0
         sel_poses = ref_poses[top_idx]
         sel_Ks = ref_Ks[top_idx]
 
@@ -358,8 +365,7 @@ class Gen6DEstimator:
         divisible by the view size.
         """
         que_imgs = np.asarray(que_imgs)
-        if que_imgs.dtype == np.uint8:
-            que_imgs = que_imgs.astype(np.float32) / 255.0
+        u8_in = que_imgs.dtype == np.uint8
         fused = self._get('fused', self._fused_fn)
         keys = ['det_ref_feats', 'sel_feats', 'sel_pose_embed', 'poses', 'Ks',
                 'center']
@@ -367,7 +373,15 @@ class Gen6DEstimator:
             keys += ['refine_imgs', 'refine_poses', 'refine_Ks', 'norm_scale',
                      'norm_offset']
         ref_info = {k: self.ref_info[k] for k in keys}
+        # ship uint8 over the host->device link (4x less than f32 — the
+        # link dominates serving wall time on tunneled chips; docs/profile.md)
+        # and convert on device in a separate small program: an elementwise op
+        # feeding the backbone's first conv inside the fused program triggers
+        # a pathological Mosaic compile (models/vgg.py normalization folding)
         que_imgs = jnp.asarray(que_imgs)
+        if u8_in:
+            que_imgs = self._get('u8_to_f32', lambda: jax.jit(
+                lambda u: u.astype(jnp.float32) / 255.0))(que_imgs)
         que_Ks = jnp.asarray(que_Ks, jnp.float32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
