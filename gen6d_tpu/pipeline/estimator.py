@@ -156,7 +156,11 @@ class Gen6DEstimator:
             # stored uint8: the refine prewarp gathers (qn, ref_num) full-res
             # views per iteration — u8 cuts that HBM stream 4x vs f32 (the
             # dominant cost of the refine stage per the round-2 trace,
-            # docs/profile.md); converted to f32 after the view gather
+            # docs/profile.md); converted to f32 after the view gather.
+            # NOTE a half-res pyramid level here reaches 23.6 poses/s (better
+            # warp-gather locality) but costs add-0.1d 0.625 -> 0.53 with the
+            # current full-res-trained refiner; revisit with a
+            # train-consistent half-res refiner (docs/profile.md)
             self.ref_info.update({
                 'refine_imgs': jnp.asarray(
                     np.clip(np.asarray(imgs_e) * 255, 0, 255).astype(np.uint8)),
