@@ -74,8 +74,12 @@ def visualize_intermediate_results(img, K, inter_results, ref_info,
 
 
 def evaluate(cfg_path, object_name, split_type=None, symmetric=False,
-             batch=8, vis_interval=0, output_root='data/eval', max_queries=None):
-    estimator = load_estimator(cfg_path)
+             batch=8, vis_interval=0, output_root='data/eval', max_queries=None,
+             estimator=None):
+    """``estimator`` overrides the config path (tests inject a small
+    pre-built estimator, mirroring prepare.prepare_validation_set)."""
+    if estimator is None:
+        estimator = load_estimator(cfg_path)
     if '/' in object_name:
         que_database_name = ref_database_name = object_name
         if object_name.startswith('linemod'):

@@ -73,7 +73,7 @@ class SyntheticTrainData:
     def __init__(self, database=None, n_views=64, ref_num=32, size=128,
                  margin=0.05, seed=0, scenes=None, augment=True,
                  distractors=True, ref_scale_noise=0.3, ref_rot_noise=15.0,
-                 ref_off_std=4.0, ref_narrow_frac=0.0):
+                 ref_off_std=4.0, ref_narrow_frac=0.0, max_staged_views=None):
         # refiner input-pose noise basin (reference train_dataset.py:1274-1293
         # uses 2^+-0.3 / +-15deg / N(0,4)px); configurable so the basin can be
         # widened to cover the measured detector+selector initialization error
@@ -104,10 +104,20 @@ class SyntheticTrainData:
         self.margin = margin
         self.augment = augment
         self.distractors = distractors
+        # streaming: scenes larger than ``max_staged_views`` stage only a
+        # rotating window of raw views (FPS reference views pinned + a random
+        # fill refreshed by ``restage()``), bounding device HBM per scene —
+        # the reference streams per-item from DataLoader workers instead
+        # (train_dataset.py:99-119); here the window refresh goes through the
+        # native pthread batch loader (ref_prep.gather_images).
+        self.max_staged_views = max_staged_views
+        self._stream_state = []
+        self._restage_rng = np.random.RandomState(seed + 777)
 
         pools = []
         for db in dbs:
-            pools.append(self._stage_scene(db, ref_num, size, margin))
+            pools.append(self._stage_scene(db, ref_num, size, margin,
+                                           scene_index=len(pools)))
         # stack along a leading scene axis
         self.pool = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *pools)
         # back-compat single-scene attributes (tests, trainer val metrics)
@@ -116,18 +126,34 @@ class SyntheticTrainData:
         self.diameter = float(self.pool['diameter'][0])
         self._jits = {}
 
-    def _stage_scene(self, db, ref_num, size, margin):
+    def _stage_scene(self, db, ref_num, size, margin, scene_index=0):
         center = np.asarray(dbm.get_object_center(db), np.float32)
         vert = np.asarray(dbm.get_object_vert(db), np.float32)
         diameter = float(dbm.get_diameter(db))
-        ids = db.get_img_ids()
+        all_ids = db.get_img_ids()
+        ref_ids = rp.select_reference_img_ids_fps(db, all_ids, ref_num)
+        msv = self.max_staged_views
+        if msv is not None and len(all_ids) > msv:
+            # bounded window: FPS reference views pinned at the front, the
+            # remaining slots hold a rotating random subset of the other views
+            assert msv > len(ref_ids), (msv, len(ref_ids))
+            fill_pool = [i for i in all_ids if i not in set(ref_ids)]
+            fill = list(self._restage_rng.choice(
+                np.asarray(fill_pool, object), msv - len(ref_ids),
+                replace=False))
+            ids = list(ref_ids) + fill
+            self._stream_state.append({
+                'db': db, 'scene_index': scene_index, 'fill_pool': fill_pool,
+                'slots': np.arange(len(ref_ids), msv),
+                'norm': (2.0 / diameter, (-2.0 / diameter) * center)})
+        else:
+            ids = all_ids
         imgs, masks, poses, Ks = rp.gather_images(db, ids)
         imgs_u8 = jnp.asarray((imgs * 255).astype(np.uint8))
         masks_u8 = jnp.asarray(masks.astype(np.uint8))
         poses = jnp.asarray(poses)
         Ks = jnp.asarray(Ks)
 
-        ref_ids = rp.select_reference_img_ids_fps(db, ids, ref_num)
         ridx = jnp.asarray([ids.index(i) for i in ref_ids])
 
         @jax.jit
@@ -158,6 +184,37 @@ class SyntheticTrainData:
                 'ref_idx': ridx, 'center': jnp.asarray(center),
                 'vert': jnp.asarray(vert),
                 'diameter': jnp.asarray(diameter, jnp.float32)}
+
+    def restage(self):
+        """Refresh the streamed view windows: load a new random fill subset of
+        every streaming scene from disk (native pthread loader for file-backed
+        databases) and swap it into the staged device pool in place (same
+        shapes/dtypes — no recompilation of the jitted batch builders).
+        Returns the number of views swapped."""
+        from gen6d_tpu.geometry.pose import normalize_pose
+        swapped = 0
+        for st in self._stream_state:
+            slots = st['slots']
+            new_ids = list(self._restage_rng.choice(
+                np.asarray(st['fill_pool'], object), len(slots),
+                replace=False))
+            imgs, masks, poses, Ks = rp.gather_images(st['db'], new_ids)
+            si = st['scene_index']
+            sl = jnp.asarray(slots)
+            norm_scale, norm_offset = st['norm']
+            poses = jnp.asarray(poses)
+            poses_norm = jax.vmap(normalize_pose, in_axes=(0, None, None))(
+                poses, norm_scale, jnp.asarray(norm_offset))
+            p = self.pool
+            p['imgs'] = p['imgs'].at[si, sl].set(
+                jnp.asarray((imgs * 255).astype(np.uint8)))
+            p['masks'] = p['masks'].at[si, sl].set(
+                jnp.asarray(masks.astype(np.uint8)))
+            p['poses'] = p['poses'].at[si, sl].set(poses)
+            p['poses_norm'] = p['poses_norm'].at[si, sl].set(poses_norm)
+            p['Ks'] = p['Ks'].at[si, sl].set(jnp.asarray(Ks))
+            swapped += len(slots)
+        return swapped
 
     def _jit(self, name, fn, static):
         if name not in self._jits:

@@ -43,6 +43,10 @@ DEFAULT_TRAIN_CFG = {
     'save_interval': 500,
     'batch_size': 4,
     'val_samples': 128,
+    # >0: refresh the streamed view windows of file-backed scenes every N
+    # steps (datasets.SyntheticTrainData.restage; needs dataset
+    # max_staged_views)
+    'restage_interval': 0,
     'model_dir': 'data/model',
     'dataset': {'n_views': 64, 'seed': 0},
     # computation dtype for the networks during training ('bfloat16' halves
@@ -265,8 +269,12 @@ class Trainer:
         if net == 'selector':
             return m, m['sel_acc_3'] + m['sel_ang_5']
         if self.ref_val is not None:
-            # reference key metric 'pose_add' (metrics.py:261-262)
-            return m, m['pose_add-0.1']
+            # best-checkpoint selection on the continuous object-space pose
+            # error instead of the reference's thresholded 'pose_add'
+            # (metrics.py:261-262): at small val sets the 0.1d indicator
+            # swings 6x between adjacent checkpoints (round-2
+            # training_logs/refiner.txt) while the mean error is stable
+            return m, -m['pose_obj_err']
         return m, -m['val_loss_pose']
 
     # --------------------------------------------------------------- analyze
@@ -354,7 +362,11 @@ class Trainer:
         except Exception:
             tb = None
         t0 = time.time()
+        restage_every = int(cfg.get('restage_interval') or 0)
         while self.step < cfg['total_step']:
+            if (restage_every and self.step % restage_every == 0
+                    and self.data._stream_state):
+                self.data.restage()
             sub = jax.random.fold_in(base_key, self.step)
             batch = self._batch(sub)
             self.params, self.opt_state, metrics = self.train_step(

@@ -1,3 +1,4 @@
+import pickle
 import os
 import struct
 import tempfile
@@ -324,3 +325,164 @@ class TestTrainingDatabases:
         np.testing.assert_allclose(db.get_pose('3'), scene.poses[3], atol=1e-6)
         assert dbm.get_diameter(db) > 0
         assert dbm.get_ref_point_cloud(db).shape[0] == verts.shape[0]
+
+
+def _write_ascii_ply(path, pts):
+    pts = np.asarray(pts, np.float32)
+    with open(path, 'w') as f:
+        f.write('ply\nformat ascii 1.0\n'
+                f'element vertex {len(pts)}\n'
+                'property float x\nproperty float y\nproperty float z\n'
+                'end_header\n')
+        for p in pts:
+            f.write(f'{p[0]} {p[1]} {p[2]}\n')
+
+
+def make_linemod_fixture(root, model_name='cat', n=8, hw=(128, 160)):
+    """Fabricate a miniature LINEMOD on-disk tree (reference
+    dataset/database.py:56-105 formats: JPEGImages/%06d.jpg, pose/pose%d.npy,
+    mask/%04d.png, <obj>.ply, test.txt/train.txt, distance.txt)."""
+    from gen6d_tpu.data.synthetic import SyntheticScene
+    from PIL import Image
+    scene = SyntheticScene(n_views=n, hw=hw, f=140.0, dist=3.3)
+    obj = root / model_name
+    for sub in ('JPEGImages', 'pose', 'mask'):
+        (obj / sub).mkdir(parents=True)
+    for i in range(n):
+        img, mask = scene.render(i)
+        Image.fromarray(img).save(obj / 'JPEGImages' / f'{i:06}.jpg')
+        m = np.repeat((mask * 255).astype(np.uint8)[..., None], 3, -1)
+        Image.fromarray(m).save(obj / 'mask' / f'{i:04}.png')
+        np.save(obj / 'pose' / f'pose{i}.npy', scene.poses[i])
+    _write_ascii_ply(obj / f'{model_name}.ply', scene.point_cloud)
+    test_ids, train_ids = range(0, n, 2), range(1, n, 2)
+    with open(obj / 'test.txt', 'w') as f:
+        f.writelines(f'JPEGImages/{i:06}.jpg\n' for i in test_ids)
+    with open(obj / 'train.txt', 'w') as f:
+        f.writelines(f'JPEGImages/{i:06}.jpg\n' for i in train_ids)
+    np.savetxt(obj / 'distance.txt', [scene.diameter * 100])
+    return scene
+
+
+class TestRealDataFixtures:
+    """LINEMOD / GenMOP / Co3DResize database classes exercised on fabricated
+    miniature on-disk trees in the reference formats (no real data ships in
+    this environment; reference dataset/database.py:56-237,563-596)."""
+
+    def test_linemod_database(self, tmp_path, monkeypatch):
+        import gen6d_tpu.data.database as dbm
+        scene = make_linemod_fixture(tmp_path / 'LINEMOD')
+        monkeypatch.setattr(dbm, 'LINEMOD_ROOT', str(tmp_path / 'LINEMOD'))
+
+        db = dbm.parse_database_name('linemod/cat')
+        assert db.get_img_ids() == [str(i) for i in range(8)]
+        assert db.get_image('0').shape == (128, 160, 3)
+        assert db.get_mask('1').any()
+        np.testing.assert_allclose(db.get_pose('2'), scene.poses[2], atol=1e-6)
+        np.testing.assert_allclose(db.get_K('0'), dbm.LINEMODDatabase.K)
+        # ply model loaded (cached as pkl on second load)
+        assert db.model.shape == scene.point_cloud.shape
+        db2 = dbm.parse_database_name('linemod/cat')
+        np.testing.assert_allclose(db2.model, db.model)
+        # splits: test.txt / train.txt / every-10th val
+        ref_ids, que_ids = dbm.get_database_split(db, 'linemod_test')
+        assert que_ids == ['0', '2', '4', '6'] and ref_ids == ['1', '3', '5', '7']
+        _, val_ids = dbm.get_database_split(db, 'linemod_val')
+        assert val_ids == que_ids[::10]
+        np.testing.assert_allclose(dbm.get_diameter(db), scene.diameter,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(dbm.get_ref_point_cloud(db), db.model)
+        assert dbm.get_object_center(db).shape == (3,)
+
+    def _make_genmop(self, root, obj='cup', n=6):
+        from gen6d_tpu.data import colmap as C
+        from gen6d_tpu.data.synthetic import SyntheticScene
+        from PIL import Image
+        rng = np.random.RandomState(5)
+        scene = SyntheticScene(n_views=n, hw=(120, 160), f=150.0, dist=3.2)
+        seqs = {}
+        for kind in ('ref', 'test'):
+            seq = root / f'{obj}-{kind}'
+            (seq / 'images').mkdir(parents=True)
+            img_fns = []
+            cams, imgs = {}, {}
+            for i in range(n):
+                img, _ = scene.render(i)
+                fn = f'{i}.jpg'
+                Image.fromarray(img).save(seq / 'images' / fn)
+                img_fns.append(fn)
+                pose = scene.poses[i]
+                cams[i + 1] = C.Camera(i + 1, 'SIMPLE_PINHOLE', 160, 120,
+                                       np.asarray([150.0, 80.0, 60.0]))
+                imgs[i + 1] = C.Image(i + 1, C.rotmat2qvec(pose[:3, :3]),
+                                      pose[:3, 3].copy(), i + 1, fn)
+            sparse = (seq / 'colmap-all' / 'colmap_default-colmap_default'
+                      / 'sparse' / '0')
+            C.write_model(cams, imgs, None, str(sparse))
+            with open(seq / 'images_fn_cache.pkl', 'wb') as f:
+                pickle.dump(img_fns, f)
+            seqs[kind] = seq
+        _write_ascii_ply(seqs['ref'] / 'object_point_cloud.ply',
+                         rng.uniform(-0.4, 0.4, (64, 3)))
+        # test-sequence alignment: scale + rigid transfer pose (align.pkl)
+        transfer = np.concatenate(
+            [np.eye(3), np.asarray([[0.1], [0.0], [-0.2]])], 1)
+        with open(seqs['test'] / 'align.pkl', 'wb') as f:
+            pickle.dump((1.5, transfer), f)
+        return scene, transfer
+
+    def test_genmop_database(self, tmp_path, monkeypatch):
+        import gen6d_tpu.data.database as dbm
+        scene, transfer = self._make_genmop(tmp_path / 'GenMOP')
+        monkeypatch.setattr(dbm, 'GENMOP_ROOT', str(tmp_path / 'GenMOP'))
+
+        db = dbm.parse_database_name('genmop/cup-ref')
+        assert db.get_img_ids() == [str(i) for i in range(6)]
+        assert db.get_image('0').shape == (120, 160, 3)
+        K = db.get_K('0')
+        np.testing.assert_allclose(
+            K, [[150, 0, 80], [0, 150, 60], [0, 0, 1]], atol=1e-5)
+        # poses = gravity-normalized COLMAP poses
+        meta = db.meta_info
+        expect = meta.normalize_pose(scene.poses[3])
+        np.testing.assert_allclose(db.get_pose('3'), expect, atol=1e-4)
+        np.testing.assert_allclose(dbm.get_diameter(db), 2.0)
+        assert dbm.get_ref_point_cloud(db).shape == (64, 3)
+
+        # test sequence composes align.pkl scale+transfer before normalizing
+        dbt = dbm.parse_database_name('genmop/cup-test')
+        raw = dbm.pose_compose_np(transfer, scene.poses[1])
+        raw[:, 3:] *= 1.5
+        np.testing.assert_allclose(dbt.get_pose('1'),
+                                   meta.normalize_pose(raw), atol=1e-4)
+
+    def test_co3d_resize_database(self, tmp_path, monkeypatch):
+        import gen6d_tpu.data.database as dbm
+        from gen6d_tpu.data.synthetic import SyntheticScene
+        from PIL import Image
+        scene = SyntheticScene(n_views=4, hw=(128, 128), f=140.0, dist=3.3)
+        root = tmp_path / 'co3d_128_256' / 'toaster' / 'seq1'
+        (root / 'images').mkdir(parents=True)
+        (root / 'masks').mkdir()
+        ids = [str(i) for i in range(4)]
+        Ks = {i: scene.K.copy() for i in ids}
+        poses = {i: scene.poses[int(i)] for i in ids}
+        ratios = {i: 1.0 for i in ids}
+        for i in ids:
+            img, mask = scene.render(int(i))
+            Image.fromarray(img).save(root / 'images' / f'{i}.jpg')
+            Image.fromarray((mask * 255).astype(np.uint8)).save(
+                root / 'masks' / f'{i}.png')
+        with open(root / 'info.pkl', 'wb') as f:
+            pickle.dump((Ks, poses, ids, ratios), f)
+        monkeypatch.setattr(dbm, 'CO3D_ROOT', str(tmp_path / 'co3d'))
+
+        db = dbm.parse_database_name('co3d_resize/toaster/seq1/128_256')
+        assert db.get_img_ids() == ids
+        assert db.get_image('0').shape == (128, 128, 3)
+        assert db.get_mask('2').any()
+        np.testing.assert_allclose(db.get_pose('1'), scene.poses[1], atol=1e-6)
+        np.testing.assert_allclose(db.get_K('0'), scene.K, atol=1e-5)
+        # missing preprocessed crops raise (reference database.py:570-577)
+        with pytest.raises(FileNotFoundError):
+            dbm.parse_database_name('co3d_resize/toaster/seq1/64_128')

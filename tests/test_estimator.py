@@ -277,3 +277,33 @@ class TestServingCalibrations:
         # and mat_to_quat of the corrected matrix is the identity quat
         q = np.asarray(mat_to_quat(jnp.asarray(R_eff)))
         np.testing.assert_allclose(q, [1, 0, 0, 0], atol=1e-4)
+
+
+class TestEvalCLIOnLINEMODFixture:
+    def test_eval_end_to_end(self, models, tmp_path, monkeypatch):
+        """cli/eval.py end-to-end on a fabricated LINEMOD on-disk tree
+        (reference eval.py:87-152 over dataset/database.py:56-105): exercises
+        the LINEMOD split/model/diameter paths through estimator build,
+        batched predict, metric computation and the performance.log append."""
+        import gen6d_tpu.data.database as dbm
+        from gen6d_tpu.cli.eval import evaluate
+        from tests.test_data import make_linemod_fixture
+        make_linemod_fixture(tmp_path / 'LINEMOD', n=8, hw=(128, 160))
+        monkeypatch.setattr(dbm, 'LINEMOD_ROOT', str(tmp_path / 'LINEMOD'))
+        monkeypatch.chdir(tmp_path)
+
+        det, sel, refi = models
+        est = Gen6DEstimator({'ref_view_num': 4, 'det_ref_view_num': 4,
+                              'refine_even_num': 4, 'refine_ref_num': 2,
+                              'refine_iter': 1},
+                             detector=det, selector=sel, refiner=refi)
+        results = evaluate(None, 'linemod/cat', batch=2, vis_interval=2,
+                           output_root=str(tmp_path / 'eval'), estimator=est)
+        # random weights: metrics are finite, not accurate
+        for k in ('add-0.1d', 'prj-5', 'poses_per_sec'):
+            assert np.isfinite(results[k]), (k, results)
+        out = tmp_path / 'eval' / 'linemod_cat'
+        assert (out / 'poses.pkl').exists()
+        assert any(out.glob('*-bbox.jpg'))
+        assert 'linemod/cat' in (tmp_path / 'data' /
+                                 'performance.log').read_text()

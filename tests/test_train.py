@@ -233,3 +233,54 @@ class TestBatchBuilders:
                               b['object_center'], b['que_poses_in'],
                               b['poses_sim_in_to_que'])
         assert np.all(np.array(loss) < 1e-4)
+
+
+class TestStreamingPool:
+    """Bounded-HBM streaming of file-backed scenes (max_staged_views +
+    restage): the staged window holds the FPS reference views plus a rotating
+    random fill reloaded from disk through ref_prep.gather_images (the native
+    pthread loader for file-backed databases). The reference instead streams
+    per-item in DataLoader workers (train_dataset.py:99-119)."""
+
+    def test_window_staging_and_restage(self, tmp_path, monkeypatch):
+        import gen6d_tpu.data.database as dbm
+        from tests.test_data import make_linemod_fixture
+        make_linemod_fixture(tmp_path / 'LINEMOD', model_name='cat', n=12,
+                             hw=(128, 160))
+        monkeypatch.setattr(dbm, 'LINEMOD_ROOT', str(tmp_path / 'LINEMOD'))
+        db = dbm.parse_database_name('linemod/cat')
+
+        data = SyntheticTrainData(scenes=[db], ref_num=4, size=64,
+                                  max_staged_views=8, augment=False,
+                                  distractors=False)
+        # device pool is bounded at the window size, not the scene size
+        assert data.pool['imgs'].shape[:2] == (1, 8)
+        assert len(data._stream_state) == 1
+        key = jax.random.PRNGKey(0)
+        det = data.det_batch(key, qn=2, que_size=128)
+        assert np.all(np.isfinite(np.asarray(det['que_imgs'])))
+
+        before = np.asarray(data.pool['imgs'][0]).copy()
+        before_poses = np.asarray(data.pool['poses'][0]).copy()
+        swapped = data.restage()
+        assert swapped == 4  # 8 staged - 4 pinned FPS refs
+        after = np.asarray(data.pool['imgs'][0])
+        after_poses = np.asarray(data.pool['poses'][0])
+        # pinned reference slots unchanged; at least one fill slot rotated
+        np.testing.assert_array_equal(before[:4], after[:4])
+        assert not np.array_equal(before_poses[4:], after_poses[4:])
+        # same shapes/dtypes -> the jitted builders keep their cache
+        det2 = data.det_batch(jax.random.PRNGKey(1), qn=2, que_size=128)
+        assert det2['que_imgs'].shape == det['que_imgs'].shape
+        sel = data.sel_batch(jax.random.PRNGKey(2), qn=2)
+        assert np.all(np.isfinite(np.asarray(sel['que_imgs'])))
+        ref = data.ref_batch(jax.random.PRNGKey(3), qn=1, ref_num=2)
+        assert np.all(np.isfinite(np.asarray(ref['que_imgs'])))
+
+    def test_small_scene_not_streamed(self):
+        data = SyntheticTrainData(n_views=8, ref_num=4, size=64,
+                                  scenes=('cube-checks@0',),
+                                  max_staged_views=16, augment=False,
+                                  distractors=False)
+        assert data._stream_state == []
+        assert data.pool['imgs'].shape[:2] == (1, 8)
