@@ -51,6 +51,18 @@ class Gen6DEstimator:
         'refine_even_num': 128,
         'refine_size': 128,
         'refine_margin': 0.05,
+        # >0: pre-warp the refine candidate views ONCE at build into
+        # vert-rectified canonical crops of this size (stored with their exact
+        # crop cameras — a look-at crop is a rotation homography, so the
+        # canonical crop IS a valid posed image of the object). The
+        # per-iteration prewarp then warps from the canonical crops instead of
+        # the full-resolution frames, cutting the refine stage's dominant
+        # warp-gather HBM traffic ~5x (docs/profile.md: 4x34 ms/batch reading
+        # (qn,6,480,640,3)). 256 with margin 0.4 keeps the object at ~154 px
+        # (above the 121 px it fills in the final 128 crop: no detail loss)
+        # and covers the final crop's corners under any in-plane rotation.
+        'refine_canon_size': 0,
+        'refine_canon_margin': 0.4,
         # log2-scale calibration of the detector decode (see _decode_det)
         'det_scale_correction': 0.0,
         # log2-scale calibration of the refiner's similarity update: the
@@ -153,6 +165,24 @@ class Gen6DEstimator:
                                                         with_masks=False)
             poses_e = np.asarray(jax.vmap(normalize_pose, in_axes=(0, None, None))(
                 jnp.asarray(poses_e), norm_scale, jnp.asarray(norm_offset)))
+            canon = int(cfg.get('refine_canon_size') or 0)
+            if canon:
+                margin_c = float(cfg['refine_canon_margin'])
+
+                @jax.jit
+                def build_canon(imgs, poses, Ks):
+                    crops, _, K_new, pose_new, _ = \
+                        normalize_reference_views_device(
+                            imgs, None, poses, Ks, jnp.zeros(3), 2.0, canon,
+                            margin_c, object_vert=jnp.asarray(object_vert))
+                    return crops, K_new, pose_new
+
+                crops_c, Ks_c, poses_c = build_canon(
+                    jnp.asarray(imgs_e), jnp.asarray(poses_e),
+                    jnp.asarray(Ks_e))
+                imgs_e = np.asarray(crops_c)
+                poses_e = np.asarray(poses_c)
+                Ks_e = np.asarray(Ks_c)
             # stored uint8: the refine prewarp gathers (qn, ref_num) full-res
             # views per iteration — u8 cuts that HBM stream 4x vs f32 (the
             # dominant cost of the refine stage per the round-2 trace,

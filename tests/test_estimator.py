@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-network/pipeline compiles
+
 from gen6d_tpu.data import database as D
 from gen6d_tpu.data.synthetic import SyntheticScene
 from gen6d_tpu.geometry.camera import project_points, view_correlation
@@ -136,6 +138,35 @@ class TestRefineComposition:
                              refiner=(MockRefiner(), {}))
         db = small_db()
         est.build(db, 'all')
+        pose_in = db.scene.poses[5]
+        refine = est._get('refine', est._refine_fn)
+        out = np.array(refine({}, jnp.asarray(db.scene.render(5)[0], jnp.float32) / 255.0,
+                              jnp.asarray(db.scene.K), jnp.asarray(pose_in),
+                              est.ref_info['refine_imgs'],
+                              est.ref_info['refine_poses'],
+                              est.ref_info['refine_Ks'],
+                              est.ref_info['norm_scale'],
+                              est.ref_info['norm_offset']))
+        ang = float(rotation_angle(jnp.asarray(out[:, :3] @ pose_in[:, :3].T)))
+        assert ang < 1e-3
+        np.testing.assert_allclose(out[:, 3], pose_in[:, 3], atol=1e-3)
+
+    def test_identity_preserved_with_canonical_staging(self, models):
+        """refine_canon_size staging replaces the full-res refine views with
+        vert-rectified canonical crops carrying their own crop cameras. The
+        crops remain valid posed images, so the identity-prediction round
+        trip must still return the input pose exactly — and the staged stack
+        must carry the canonical resolution."""
+        det, sel, _ = models
+        est = Gen6DEstimator({'ref_view_num': 8, 'det_ref_view_num': 4,
+                              'refine_even_num': 12, 'refine_iter': 1,
+                              'refine_canon_size': 96,
+                              'refine_canon_margin': 0.4},
+                             detector=det, selector=sel,
+                             refiner=(MockRefiner(), {}))
+        db = small_db()
+        est.build(db, 'all')
+        assert est.ref_info['refine_imgs'].shape[1:] == (96, 96, 3)
         pose_in = db.scene.poses[5]
         refine = est._get('refine', est._refine_fn)
         out = np.array(refine({}, jnp.asarray(db.scene.render(5)[0], jnp.float32) / 255.0,

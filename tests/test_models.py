@@ -40,6 +40,7 @@ def randomize_bn_stats(m, rng):
             mod.running_var.copy_(torch.from_numpy(rng.rand(mod.num_features).astype(np.float32) + 0.5))
 
 
+@pytest.mark.slow
 class TestVGG:
     def test_pyramid_matches_torch(self, rng):
         """Full VGG-11-BN pyramid vs torch, incl. the stage-split quirk: the
@@ -159,6 +160,7 @@ class TestAttention:
         np.testing.assert_allclose(out, expected, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestVolumeSampling:
     def test_matches_torch_grid_sample_pipeline(self, rng):
         """interpolate_volume_feats vs the reference's project+normalize+
@@ -209,6 +211,7 @@ def _seq_shapes(prefix, dims, kernel):
     return shapes
 
 
+@pytest.mark.slow
 class TestConverters:
     """Converted reference-format state dicts must load into the Flax models
     with exactly matching tree structure and shapes."""
@@ -322,6 +325,7 @@ class TestParseDetection:
         assert float(sc[0]) == pytest.approx(2.0)
 
 
+@pytest.mark.slow
 class TestParityHarness:
     """The real-checkpoint parity harness (scripts/parity.py): synthesized
     reference-layout state dicts must convert into trees that exactly match

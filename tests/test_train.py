@@ -162,6 +162,7 @@ def tdata_aug():
                               scenes=('cube-checks@0', 'oct-stripes@2'))
 
 
+@pytest.mark.slow
 class TestBatchBuilders:
     def test_det_batch(self, tdata):
         b = tdata.det_batch(jax.random.PRNGKey(0), qn=2, que_size=256)
@@ -235,6 +236,7 @@ class TestBatchBuilders:
         assert np.all(np.array(loss) < 1e-4)
 
 
+@pytest.mark.slow
 class TestStreamingPool:
     """Bounded-HBM streaming of file-backed scenes (max_staged_views +
     restage): the staged window holds the FPS reference views plus a rotating

@@ -3,6 +3,9 @@ validated on TPU — see the bench/verify drives)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode kernels + VJP checks
 
 from gen6d_tpu.ops.volume_pallas import (volume_sample_meanstd,
                                          volume_sample_meanstd_xla,
