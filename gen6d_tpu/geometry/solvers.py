@@ -29,22 +29,23 @@ def estimate_pose_from_similarity_transform(ref_pose, ref_K, que_K, M_que_to_ref
     M_ref_to_que = t2d.inverse_2d(M_que_to_ref)
     ref_cam = (-ref_pose[:, :3].T @ ref_pose[:, 3:])[..., 0]
     ref_obj_center, _ = project_points(object_center[None, :], ref_pose, ref_K)
-    que_obj_center = t2d.apply_2d(M_ref_to_que, ref_obj_center)[0]
-    que_obj_center_ = (pts_to_hpts(que_obj_center[None]) @ jnp.linalg.inv(que_K).T)[0, :2]
+    # object center in query pixels, then on the normalized image plane
+    center_px = t2d.apply_2d(M_ref_to_que, ref_obj_center)[0]
+    center_ndc = (pts_to_hpts(center_px[None]) @ jnp.linalg.inv(que_K).T)[0, :2]
     scale, rotation, _ = t2d.decompose_2d(M_ref_to_que)
 
     que_f = (que_K[0, 0] + que_K[1, 1]) / 2
     ref_f = (ref_K[0, 0] + ref_K[1, 1]) / 2
-    que_obj_center__ = que_obj_center_ * que_f
-    que_f_ = jnp.sqrt(que_f ** 2 + jnp.sum(que_obj_center__ ** 2))
+    # effective focal along the off-center viewing ray through the object
+    ray_f = jnp.sqrt(que_f ** 2 + jnp.sum((center_ndc * que_f) ** 2))
     ref_dist = jnp.linalg.norm(ref_cam - object_center)
-    que_dist = ref_dist * que_f_ / ref_f / scale
-    que_obj_center___ = pts_to_hpts(que_obj_center_[None])[0]
-    que_cen3d = que_obj_center___ / jnp.linalg.norm(que_obj_center___) * que_dist
+    que_dist = ref_dist * ray_f / ref_f / scale
+    ray_dir = pts_to_hpts(center_ndc[None])[0]
+    que_cen3d = ray_dir / jnp.linalg.norm(ray_dir) * que_dist
 
     ref_rot = ref_pose[:, :3]
     R0 = jnp.eye(3).at[:2, :2].set(angle_to_rotation_2d(rotation))
-    R = look_at_rotation(que_obj_center_)
+    R = look_at_rotation(center_ndc)
     que_rot = R.T @ (R0 @ ref_rot)
     que_trans = que_cen3d - que_rot @ object_center
     return jnp.concatenate([que_rot, que_trans[:, None]], 1)

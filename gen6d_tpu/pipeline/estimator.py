@@ -93,6 +93,16 @@ class Gen6DEstimator:
     # ------------------------------------------------------------------ build
     def build(self, database: dbm.BaseDatabase, split_type: str):
         """Prepare reference data on device (estimator.py:139-171)."""
+        import os, time
+        _timing = bool(os.environ.get('GEN6D_TIMING'))
+        _t = [time.time()]
+
+        def tic(stage):
+            if _timing:
+                now = time.time()
+                print(f'[build] {stage}: {now - _t[0]:.2f}s', flush=True)
+                _t[0] = now
+
         cfg = self.cfg
         object_center = np.asarray(dbm.get_object_center(database), np.float32)
         object_vert = np.asarray(dbm.get_object_vert(database), np.float32)
@@ -101,47 +111,65 @@ class Gen6DEstimator:
 
         ref_ids = rp.select_reference_img_ids_fps(database, ref_ids_all,
                                                  cfg['ref_view_num'])
-        raw_imgs, raw_masks, raw_poses, raw_Ks = rp.gather_images(database, ref_ids)
+        # uint8 end-to-end to the device: 4x less over the tunneled
+        # host->device link and no 472MB f32 detour on the 1-core host
+        raw_imgs, raw_masks, raw_poses, raw_Ks = rp.gather_images(
+            database, ref_ids, as_uint8=True)
+        tic('host prep (split/FPS/gather refs)')
 
         size = cfg['ref_resolution']
 
-        @jax.jit
-        def build_refs(imgs, masks, poses, Ks):
-            # normalized (vert-rectified) crops for the detector + ref_info
-            crops, crop_masks, K_new, pose_new, Hs = normalize_reference_views_device(
-                imgs, masks, poses, Ks, jnp.asarray(object_center), diameter,
-                size, 0.05, object_vert=jnp.asarray(object_vert))
-            # in-plane rotated copies for the selector (estimator.py:150-164):
-            # H_rot(angle) = center-rotation affine composed onto each crop H
-            def rot_H(angle):
-                M = t2d.offset_2d(-size / 2.0, -size / 2.0)
-                M = t2d.compose_2d(M, t2d.rotation_2d(angle))
-                M = t2d.compose_2d(M, t2d.offset_2d(size / 2.0, size / 2.0))
-                return jnp.concatenate([M, jnp.asarray([[0.0, 0.0, 1.0]])], 0)
+        def _build_refs_fn():
+            @jax.jit
+            def build_refs(imgs_u8, masks, poses, Ks, center, diam, vert):
+                imgs = imgs_u8.astype(jnp.float32) / 255.0
+                # normalized (vert-rectified) crops for the detector + ref_info
+                crops, crop_masks, K_new, pose_new, Hs = \
+                    normalize_reference_views_device(
+                        imgs, masks, poses, Ks, center, diam, size, 0.05,
+                        object_vert=vert)
+                # in-plane rotated copies for the selector
+                # (estimator.py:150-164): H_rot(angle) = center-rotation
+                # affine composed onto each crop H
+                def rot_H(angle):
+                    M = t2d.offset_2d(-size / 2.0, -size / 2.0)
+                    M = t2d.compose_2d(M, t2d.rotation_2d(angle))
+                    M = t2d.compose_2d(M, t2d.offset_2d(size / 2.0, size / 2.0))
+                    return jnp.concatenate([M, jnp.asarray([[0.0, 0.0, 1.0]])], 0)
 
-            rots = []
-            for angle in SELECTOR_ANGLES:
-                Hr = rot_H(angle)
-                warped = jax.vmap(
-                    lambda im, h: warp_perspective(im, Hr @ h, (size, size))
-                )(imgs, Hs)
-                rots.append(warped)
-            ref_imgs_rots = jnp.stack(rots, 0)  # an,rfn,size,size,3
-            return crops, crop_masks, K_new, pose_new, Hs, ref_imgs_rots
+                rots = []
+                for angle in SELECTOR_ANGLES:
+                    Hr = rot_H(angle)
+                    warped = jax.vmap(
+                        lambda im, h: warp_perspective(im, Hr @ h, (size, size))
+                    )(imgs, Hs)
+                    rots.append(warped)
+                ref_imgs_rots = jnp.stack(rots, 0)  # an,rfn,size,size,3
+                return crops, crop_masks, K_new, pose_new, Hs, ref_imgs_rots
+            return build_refs
 
-        crops, crop_masks, K_new, pose_new, Hs, ref_imgs_rots = build_refs(
-            jnp.asarray(raw_imgs), jnp.asarray(raw_masks),
-            jnp.asarray(raw_poses), jnp.asarray(raw_Ks))
+        # _get: onboarding a second object reuses the compiled programs
+        # (shape-keyed; object geometry is passed as arguments)
+        crops, crop_masks, K_new, pose_new, Hs, ref_imgs_rots = \
+            jax.block_until_ready(self._get('build_refs', _build_refs_fn)(
+                jnp.asarray(raw_imgs), jnp.asarray(raw_masks, jnp.float32),
+                jnp.asarray(raw_poses), jnp.asarray(raw_Ks),
+                jnp.asarray(object_center), diameter,
+                jnp.asarray(object_vert)))
+        tic('build_refs (warp+rot copies)')
 
         # detector / selector feature caches (one jitted call each)
         det_ref_feats = jax.jit(
             lambda p, x: self.detector.apply(p, x, method='load_ref'))(
                 self.detector_params, crops[:cfg['det_ref_view_num']])
+        tic('detector ref feats')
         sel_cache = jax.jit(
             lambda p, a, b, c, d: self.selector.apply(p, a, b, c, d,
                                                       method='load_ref'))(
             self.selector_params, ref_imgs_rots, pose_new,
             jnp.asarray(object_center), jnp.asarray(object_vert))
+        jax.block_until_ready(sel_cache)
+        tic('selector ref feats')
 
         self.ref_info = {
             'imgs': crops, 'ref_imgs': ref_imgs_rots, 'masks': crop_masks,
@@ -162,43 +190,50 @@ class Gen6DEstimator:
             idx = sample_fps_points(cams, n_even + 1, True, index_model=True)
             even_ids = np.asarray(ref_ids_all)[idx]
             imgs_e, _, poses_e, Ks_e = rp.gather_images(database, even_ids,
-                                                        with_masks=False)
-            poses_e = np.asarray(jax.vmap(normalize_pose, in_axes=(0, None, None))(
-                jnp.asarray(poses_e), norm_scale, jnp.asarray(norm_offset)))
+                                                        with_masks=False,
+                                                        as_uint8=True)
+            tic('refine gather (host)')
+            # jitted (an eager vmap here cost 230s of per-op axon compiles)
+            norm_poses = self._get('norm_poses', lambda: jax.jit(
+                jax.vmap(normalize_pose, in_axes=(0, None, None))))
+            poses_e = np.asarray(norm_poses(jnp.asarray(poses_e), norm_scale,
+                                            jnp.asarray(norm_offset)))
+            # stored uint8: the refine prewarp gathers (qn, ref_num) views per
+            # iteration — u8 cuts that HBM stream 4x vs f32 (the dominant cost
+            # of the refine stage per the round-2 trace, docs/profile.md);
+            # converted to f32 after the view gather.
+            imgs_dev = jnp.asarray(imgs_e)  # u8 upload, once
             canon = int(cfg.get('refine_canon_size') or 0)
             if canon:
                 margin_c = float(cfg['refine_canon_margin'])
 
-                @jax.jit
-                def build_canon(imgs, poses, Ks):
-                    crops, _, K_new, pose_new, _ = \
-                        normalize_reference_views_device(
-                            imgs, None, poses, Ks, jnp.zeros(3), 2.0, canon,
-                            margin_c, object_vert=jnp.asarray(object_vert))
-                    return crops, K_new, pose_new
+                def _build_canon_fn():
+                    @jax.jit
+                    def build_canon(imgs_u8, poses, Ks, vert):
+                        imgs = imgs_u8.astype(jnp.float32) / 255.0
+                        crops, _, K_new, pose_new, _ = \
+                            normalize_reference_views_device(
+                                imgs, None, poses, Ks, jnp.zeros(3), 2.0,
+                                canon, margin_c, object_vert=vert)
+                        crops_u8 = jnp.clip(jnp.round(crops * 255.0), 0,
+                                            255).astype(jnp.uint8)
+                        return crops_u8, K_new, pose_new
+                    return build_canon
 
-                crops_c, Ks_c, poses_c = build_canon(
-                    jnp.asarray(imgs_e), jnp.asarray(poses_e),
-                    jnp.asarray(Ks_e))
-                imgs_e = np.asarray(crops_c)
+                imgs_dev, Ks_c, poses_c = self._get(
+                    'build_canon', _build_canon_fn)(
+                    imgs_dev, jnp.asarray(poses_e), jnp.asarray(Ks_e),
+                    jnp.asarray(object_vert))
                 poses_e = np.asarray(poses_c)
                 Ks_e = np.asarray(Ks_c)
-            # stored uint8: the refine prewarp gathers (qn, ref_num) full-res
-            # views per iteration — u8 cuts that HBM stream 4x vs f32 (the
-            # dominant cost of the refine stage per the round-2 trace,
-            # docs/profile.md); converted to f32 after the view gather.
-            # NOTE a half-res pyramid level here reaches 23.6 poses/s (better
-            # warp-gather locality) but costs add-0.1d 0.625 -> 0.53 with the
-            # current full-res-trained refiner; revisit with a
-            # train-consistent half-res refiner (docs/profile.md)
             self.ref_info.update({
-                'refine_imgs': jnp.asarray(
-                    np.clip(np.asarray(imgs_e) * 255, 0, 255).astype(np.uint8)),
+                'refine_imgs': imgs_dev,
                 'refine_poses': jnp.asarray(poses_e),
                 'refine_Ks': jnp.asarray(Ks_e),
                 'norm_scale': norm_scale,
                 'norm_offset': jnp.asarray(norm_offset),
             })
+            tic('refine staging (canon/upload)')
 
     # ---------------------------------------------------------------- stages
     def _decode_det(self, out):
