@@ -40,6 +40,7 @@ from gen6d_tpu.geometry.pose import camera_position, pose_compose
 from gen6d_tpu.geometry.rotations import rot_z
 from gen6d_tpu.geometry.solvers import (approximate_rigid_to_similarity,
                                         scale_rotation_difference_from_cameras)
+from gen6d_tpu.ops.image import resize_bilinear
 from gen6d_tpu.ops.warp import warp_perspective
 from gen6d_tpu.train.augment import octave_background, photometric_aug
 
@@ -73,7 +74,9 @@ class SyntheticTrainData:
     def __init__(self, database=None, n_views=64, ref_num=32, size=128,
                  margin=0.05, seed=0, scenes=None, augment=True,
                  distractors=True, ref_scale_noise=0.3, ref_rot_noise=15.0,
-                 ref_off_std=4.0, ref_narrow_frac=0.0, max_staged_views=None):
+                 ref_off_std=4.0, ref_narrow_frac=0.0, max_staged_views=None,
+                 scene_probs=None, background_dir=None,
+                 background_pool_size=64, background_res=512):
         # refiner input-pose noise basin (reference train_dataset.py:1274-1293
         # uses 2^+-0.3 / +-15deg / N(0,4)px); configurable so the basin can be
         # widened to cover the measured detector+selector initialization error
@@ -114,12 +117,37 @@ class SyntheticTrainData:
         self._stream_state = []
         self._restage_rng = np.random.RandomState(seed + 777)
 
+        # per-scene sampling probabilities (reference samples datasets with
+        # configured probabilities, train_dataset.py:240-258; uniform default)
+        if scene_probs is not None:
+            p = np.asarray(scene_probs, np.float32)
+            if p.shape != (len(dbs),):
+                raise ValueError(f'scene_probs has {p.shape[0]} entries for '
+                                 f'{len(dbs)} scenes')
+            self._scene_logits = jnp.log(jnp.asarray(p / p.sum()))
+        else:
+            self._scene_logits = None
+
+        # real-image background pool (reference composites COCO/SUN crops,
+        # train_dataset.py:99-119,260-291); staged on device once as uint8,
+        # random crops taken in-graph. Falls back to procedural octave noise
+        # when no directory is given (no real data ships with this env).
+        self.bg_pool = None
+        if background_dir is not None:
+            self.bg_pool = self._stage_backgrounds(
+                background_dir, background_pool_size, background_res, seed)
+
         pools = []
         for db in dbs:
             pools.append(self._stage_scene(db, ref_num, size, margin,
                                            scene_index=len(pools)))
         # stack along a leading scene axis
         self.pool = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *pools)
+        if self.bg_pool is not None:
+            # ride in the pool dict so jitted batch impls take it as an
+            # argument (a closed-over 50 MB uint8 constant would be embedded
+            # in every compiled program otherwise)
+            self.pool['bg'] = self.bg_pool
         # back-compat single-scene attributes (tests, trainer val metrics)
         self.center = self.pool['center'][0]
         self.vert = self.pool['vert'][0]
@@ -226,15 +254,61 @@ class SyntheticTrainData:
         return u8.astype(jnp.float32) / 255.0
 
     def _rand_scene(self, key):
+        if self._scene_logits is not None:
+            return jax.random.categorical(key, self._scene_logits)
         return jax.random.randint(key, (), 0, self.pool['imgs'].shape[0])
 
-    def _randomize_ref_bg(self, key, ref_crops, ref_masks, p=0.5):
-        """Composite reference crops over procedural backgrounds with prob p
+    @staticmethod
+    def _stage_backgrounds(background_dir, pool_size, res, seed):
+        """Load up to ``pool_size`` images from ``background_dir``, resize to
+        res x res, stage on device as one uint8 (B,res,res,3) array."""
+        import os
+
+        from PIL import Image as PILImage
+        exts = ('.jpg', '.jpeg', '.png', '.bmp', '.webp')
+        files = sorted(f for f in os.listdir(background_dir)
+                       if f.lower().endswith(exts))
+        if not files:
+            raise ValueError(f'no background images in {background_dir}')
+        rng = np.random.RandomState(seed + 888)
+        if len(files) > pool_size:
+            files = [files[i] for i in
+                     rng.choice(len(files), pool_size, replace=False)]
+        imgs = []
+        for f in files:
+            im = PILImage.open(os.path.join(background_dir, f)).convert('RGB')
+            imgs.append(np.asarray(im.resize((res, res),
+                                             PILImage.BILINEAR), np.uint8))
+        return jnp.asarray(np.stack(imgs, 0))
+
+    def _background(self, key, n, size, pool=None):
+        """(n,size,size,3) f32 backgrounds: random crops of the staged real
+        pool when present (4/5 of samples, octave noise otherwise for
+        diversity); pure octave noise without a pool."""
+        bgs = None if pool is None else pool.get('bg')
+        if bgs is None:
+            return octave_background(key, n, size)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        bn, res = bgs.shape[0], bgs.shape[1]
+        csz = min(size, res)
+        bi = jax.random.randint(k1, (n,), 0, bn)
+        off = jax.random.randint(k2, (n, 2), 0, res - csz + 1)
+        crops = jax.vmap(lambda im, o: jax.lax.dynamic_slice(
+            im, (o[0], o[1], 0), (csz, csz, 3)))(bgs[bi], off)
+        real = crops.astype(jnp.float32) / 255.0
+        if csz != size:
+            real = resize_bilinear(real, (size, size))
+        noise = octave_background(k3, n, size)
+        use_real = (jax.random.uniform(k4, (n, 1, 1, 1)) < 0.8)
+        return jnp.where(use_real, real, noise)
+
+    def _randomize_ref_bg(self, key, ref_crops, ref_masks, p=0.5, pool=None):
+        """Composite reference crops over backgrounds with prob p
         (the reference composites synthetic-data refs onto COCO backgrounds,
         train_dataset.py:293-349)."""
         rfn, s = ref_crops.shape[0], ref_crops.shape[1]
         k1, k2 = jax.random.split(key)
-        bg = octave_background(k1, rfn, s)
+        bg = self._background(k1, rfn, s, pool)
         on = (jax.random.uniform(k2, (rfn, 1, 1, 1)) < p).astype(jnp.float32)
         m = ref_masks[..., None]
         comp = ref_crops * m + bg * (1 - m)
@@ -296,7 +370,7 @@ class SyntheticTrainData:
             pool['diameter'][si], scale_aug, rot_aug, off_aug, que_size)
 
         if self.augment:
-            bg = octave_background(keys[5], qn, que_size)
+            bg = self._background(keys[5], qn, que_size, pool)
         else:
             # clean val batches: flat background like the synthetic renders
             bg = jnp.full((qn, que_size, que_size, 3), 90.0 / 255.0)
@@ -358,7 +432,8 @@ class SyntheticTrainData:
         ref_imgs = pool['ref_crops'][si]
         if self.augment:
             ref_imgs = self._randomize_ref_bg(keys[8], ref_imgs,
-                                              pool['ref_crop_masks'][si])
+                                              pool['ref_crop_masks'][si],
+                                              pool=pool)
 
         # GT scale: camera similarity from the normalized ref convention to the
         # augmented query (que_ref_scale_rotation_from_poses semantics)
@@ -414,7 +489,7 @@ class SyntheticTrainData:
             rot_aug)
 
         if self.augment:
-            bg = octave_background(keys[4], qn, self.size)
+            bg = self._background(keys[4], qn, self.size, pool)
             que_imgs = que_imgs * que_masks + bg * (1 - que_masks)
             que_imgs = photometric_aug(keys[5], que_imgs)
 

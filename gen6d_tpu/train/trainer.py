@@ -78,9 +78,13 @@ class Trainer:
         val_scenes = dcfg.pop('val_scenes', DEFAULT_VAL_SCENES)
         dcfg.setdefault('scenes', DEFAULT_TRAIN_SCENES)
         self.data = SyntheticTrainData(**dcfg)
-        # held-out validation scene(s), clean batches (eval-like conditions)
+        # held-out validation scene(s), clean batches (eval-like conditions);
+        # train-only sampling/background knobs don't apply
+        vcfg = {k: v for k, v in dcfg.items()
+                if k not in ('scene_probs', 'background_dir',
+                             'background_pool_size', 'background_res')}
         self.val_data = SyntheticTrainData(
-            **{**dcfg, 'scenes': val_scenes, 'augment': False,
+            **{**vcfg, 'scenes': val_scenes, 'augment': False,
                'distractors': False})
 
         # refiner: validate on cached det/sel predictions when available

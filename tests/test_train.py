@@ -286,3 +286,54 @@ class TestStreamingPool:
                                   distractors=False)
         assert data._stream_state == []
         assert data.pool['imgs'].shape[:2] == (1, 8)
+
+
+@pytest.mark.slow
+class TestSamplingAndBackgrounds:
+    """Per-scene sampling probabilities (reference train_dataset.py:240-258)
+    and real-image background compositing (reference :99-119,260-291)."""
+
+    def test_scene_probs_respected(self):
+        data = SyntheticTrainData(n_views=8, ref_num=4, size=64,
+                                  scenes=('cube-checks@0', 'oct-stripes@2'),
+                                  scene_probs=[1.0, 0.0], augment=False,
+                                  distractors=False)
+        picks = [int(data._rand_scene(jax.random.PRNGKey(i)))
+                 for i in range(16)]
+        assert set(picks) == {0}
+
+    def test_scene_probs_validated(self):
+        with pytest.raises(ValueError):
+            SyntheticTrainData(n_views=8, ref_num=4, size=64,
+                               scenes=('cube-checks@0',),
+                               scene_probs=[0.5, 0.5])
+
+    def test_background_dir_compositing(self, tmp_path):
+        from PIL import Image as PILImage
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            arr = rng.randint(0, 255, (96, 80, 3), np.uint8)
+            PILImage.fromarray(arr).save(tmp_path / f'bg{i}.png')
+        data = SyntheticTrainData(n_views=8, ref_num=4, size=64,
+                                  scenes=('cube-checks@0',),
+                                  background_dir=str(tmp_path),
+                                  background_res=128)
+        assert data.pool['bg'].shape == (3, 128, 128, 3)
+        assert data.pool['bg'].dtype == jnp.uint8
+        b = data.det_batch(jax.random.PRNGKey(0), qn=2, que_size=256)
+        q = np.asarray(b['que_imgs'])
+        assert q.shape == (2, 256, 256, 3)
+        assert np.all(np.isfinite(q)) and q.max() > 0.1
+
+    def test_background_crop_smaller_than_pool(self, tmp_path):
+        # crop size > staged res exercises the resize fallback
+        from PIL import Image as PILImage
+        PILImage.fromarray(np.zeros((40, 40, 3), np.uint8)).save(
+            tmp_path / 'bg.png')
+        data = SyntheticTrainData(n_views=8, ref_num=4, size=64,
+                                  scenes=('cube-checks@0',),
+                                  background_dir=str(tmp_path),
+                                  background_res=48)
+        bg = data._background(jax.random.PRNGKey(0), 2, 64, data.pool)
+        assert bg.shape == (2, 64, 64, 3)
+        assert np.all(np.isfinite(np.asarray(bg)))
