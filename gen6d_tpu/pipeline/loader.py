@@ -40,6 +40,20 @@ def _random_init(network, kind, key):
                                  jnp.tile(K[:, None], (1, 2, 1, 1)))
 
 
+def _npz_fallback(cfg):
+    """Committed weight-snapshot path for a network config (weights_io).
+
+    Defaults to weights/<run_name>.npz where run_name is the training-run
+    directory of the configured orbax path (data/model/<run_name>/model_best),
+    matching the Trainer's export convention."""
+    ckpt = cfg.get('checkpoint') or {}
+    if 'fallback' in ckpt:
+        return ckpt['fallback']
+    path = ckpt.get('path', '')
+    run = os.path.basename(os.path.dirname(path)) if path else ''
+    return os.path.join('weights', f"{run or cfg.get('name', cfg['network'])}.npz")
+
+
 def load_network(cfg, dtype=None):
     """cfg: dict with 'network' (detector/selector/refiner), optional
     'checkpoint' {'type','path'}, optional 'network_cfg'. Returns
@@ -58,6 +72,19 @@ def load_network(cfg, dtype=None):
         params = ocp.StandardCheckpointer().restore(
             os.path.abspath(ckpt['path']), ref)
         print(f'loaded {kind} from orbax checkpoint {ckpt["path"]}')
+    elif ckpt and ckpt.get('type') == 'npz' and os.path.exists(ckpt['path']):
+        from gen6d_tpu.models.weights_io import load_params_npz
+        ref = _random_init(network, kind, jax.random.PRNGKey(0))
+        params = load_params_npz(ckpt['path'], ref)
+        print(f'loaded {kind} from npz snapshot {ckpt["path"]}')
+    elif ckpt and os.path.exists(_npz_fallback(cfg)):
+        # orbax dirs live under gitignored data/ and die with the
+        # environment; the committed weights/<name>.npz snapshot survives
+        from gen6d_tpu.models.weights_io import load_params_npz
+        ref = _random_init(network, kind, jax.random.PRNGKey(0))
+        params = load_params_npz(_npz_fallback(cfg), ref)
+        print(f'loaded {kind} from npz snapshot {_npz_fallback(cfg)} '
+              f'(orbax checkpoint {ckpt.get("path")} missing)')
     else:
         if ckpt:
             print(f'WARNING: checkpoint {ckpt.get("path")} not found; '

@@ -117,9 +117,26 @@ class Trainer:
         init_from = self.cfg.get('init_from')
         if init_from and not os.path.exists(
                 os.path.join(self.model_dir, 'model')):
-            self.params = self.ckpt.restore(os.path.abspath(init_from),
-                                            self.params)
-            print(f'initialized params from {init_from}')
+            npz_alt = os.path.join(
+                'weights', os.path.basename(os.path.dirname(init_from)) + '.npz')
+            if init_from.endswith('.npz') and os.path.exists(init_from):
+                from gen6d_tpu.models.weights_io import load_params_npz
+                self.params = load_params_npz(init_from, self.params)
+                print(f'initialized params from {init_from}')
+            elif os.path.exists(init_from):
+                self.params = self.ckpt.restore(os.path.abspath(init_from),
+                                                self.params)
+                print(f'initialized params from {init_from}')
+            elif os.path.exists(npz_alt):
+                # orbax dirs die with the (gitignored) data/ tree; the
+                # committed weights/<run>.npz snapshot survives resets
+                from gen6d_tpu.models.weights_io import load_params_npz
+                self.params = load_params_npz(npz_alt, self.params)
+                print(f'initialized params from npz snapshot {npz_alt} '
+                      f'({init_from} missing)')
+            else:
+                print(f'WARNING: init_from {init_from} missing and no npz '
+                      f'snapshot at {npz_alt}; training from scratch')
 
     def _batch(self, key, data=None):
         qn = self.cfg['batch_size']
@@ -162,6 +179,13 @@ class Trainer:
             json.dump({'step': self.step,
                        'best_metric': float(self.best_metric),
                        'with_opt': with_opt}, f)
+        if tag == 'model_best':
+            # git-persistable snapshot: orbax dirs under data/ die with the
+            # environment (weights_io module docstring)
+            from gen6d_tpu.models.weights_io import save_params_npz
+            save_params_npz(self.params,
+                            os.path.join(self.cfg.get('weights_dir', 'weights'),
+                                         f"{self.cfg['name']}.npz"))
 
     def _try_resume(self):
         path = os.path.join(self.model_dir, 'model')

@@ -337,3 +337,42 @@ class TestSamplingAndBackgrounds:
         bg = data._background(jax.random.PRNGKey(0), 2, 64, data.pool)
         assert bg.shape == (2, 64, 64, 3)
         assert np.all(np.isfinite(np.asarray(bg)))
+
+
+class TestWeightsIO:
+    def test_npz_roundtrip_mixed_tree(self, tmp_path):
+        """weights_io snapshots restore the exact tree structure/dtypes;
+        f32 leaves round-trip through f16 within snapshot precision."""
+        from gen6d_tpu.models.weights_io import (load_params_npz,
+                                                 save_params_npz)
+        params = {'params': {
+            'conv': {'kernel': jnp.asarray(
+                np.random.RandomState(0).randn(3, 3, 4, 8), jnp.float32)},
+            'bn': {'mean': jnp.zeros(8), 'var': jnp.ones(8)},
+            'step': jnp.asarray(7, jnp.int32),
+            'big': jnp.asarray([1e5, -2e5], jnp.float32),  # f16 overflow -> f32
+        }}
+        path = str(tmp_path / 'snap.npz')
+        save_params_npz(params, path)
+        ref = jax.tree.map(jnp.zeros_like, params)
+        back = load_params_npz(path, ref)
+        assert jax.tree_util.tree_structure(back) == \
+            jax.tree_util.tree_structure(params)
+        for (kp, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(params)[0],
+                jax.tree_util.tree_flatten_with_path(back)[0]):
+            assert a.dtype == b.dtype, kp
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-6)
+        # overflow-guarded leaf must be exact
+        np.testing.assert_array_equal(np.asarray(back['params']['big']),
+                                      np.asarray(params['params']['big']))
+
+    def test_npz_missing_key_raises(self, tmp_path):
+        from gen6d_tpu.models.weights_io import (load_params_npz,
+                                                 save_params_npz)
+        params = {'a': jnp.zeros(3)}
+        path = str(tmp_path / 'snap.npz')
+        save_params_npz(params, path)
+        with pytest.raises(KeyError):
+            load_params_npz(path, {'a': jnp.zeros(3), 'b': jnp.zeros(2)})
