@@ -18,9 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 # f16 snapshot precision: serving runs the networks in bfloat16 (8-bit
-# exponent, 8-bit mantissa); f16's 11-bit mantissa strictly dominates it for
-# values in range, so the round-trip is lossless w.r.t. the serving compute.
+# exponent, 8-bit mantissa); within f16's NORMAL range [~6.1e-5, 6.5e4] its
+# 11-bit mantissa carries more precision than bf16, so the snapshot adds no
+# error beyond the serving cast there. Outside that range f16 loses to
+# bf16/f32 (subnormal precision loss below 6.1e-5, flush-to-zero below
+# ~6e-8), so tensors with out-of-range nonzeros stay f32.
 _F16_MAX = 6.0e4
+_F16_MIN_NORMAL = 6.2e-5
 
 
 def save_params_npz(params, path):
@@ -28,9 +32,11 @@ def save_params_npz(params, path):
     for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = jax.tree_util.keystr(kp)
         arr = np.asarray(leaf)
-        if (arr.dtype == np.float32 and np.isfinite(arr).all()
-                and float(np.abs(arr).max(initial=0.0)) < _F16_MAX):
-            arr = arr.astype(np.float16)
+        if arr.dtype == np.float32 and np.isfinite(arr).all():
+            mags = np.abs(arr[arr != 0])
+            if (float(mags.max(initial=0.0)) < _F16_MAX
+                    and float(mags.min(initial=1.0)) >= _F16_MIN_NORMAL):
+                arr = arr.astype(np.float16)
         flat[key] = arr
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + '.tmp.npz'

@@ -117,7 +117,10 @@ class Trainer:
         init_from = self.cfg.get('init_from')
         if init_from and not os.path.exists(
                 os.path.join(self.model_dir, 'model')):
-            npz_alt = os.path.join(
+            # the npz fallback only makes sense for orbax run dirs
+            # (data/model/<run>/model_best -> weights/<run>.npz); for a
+            # missing .npz init_from there is nothing sane to fall back to
+            npz_alt = None if init_from.endswith('.npz') else os.path.join(
                 'weights', os.path.basename(os.path.dirname(init_from)) + '.npz')
             if init_from.endswith('.npz') and os.path.exists(init_from):
                 from gen6d_tpu.models.weights_io import load_params_npz
@@ -127,7 +130,7 @@ class Trainer:
                 self.params = self.ckpt.restore(os.path.abspath(init_from),
                                                 self.params)
                 print(f'initialized params from {init_from}')
-            elif os.path.exists(npz_alt):
+            elif npz_alt and os.path.exists(npz_alt):
                 # orbax dirs die with the (gitignored) data/ tree; the
                 # committed weights/<run>.npz snapshot survives resets
                 from gen6d_tpu.models.weights_io import load_params_npz
@@ -135,8 +138,12 @@ class Trainer:
                 print(f'initialized params from npz snapshot {npz_alt} '
                       f'({init_from} missing)')
             else:
-                print(f'WARNING: init_from {init_from} missing and no npz '
-                      f'snapshot at {npz_alt}; training from scratch')
+                # a silently-missing warm start wastes the whole stage budget
+                # (from-scratch pool training stalls; ADVICE r3 high)
+                raise FileNotFoundError(
+                    f'init_from {init_from} missing and no npz snapshot at '
+                    f'{npz_alt}; refusing to train from scratch (drop '
+                    f'init_from from the config to train from scratch)')
 
     def _batch(self, key, data=None):
         qn = self.cfg['batch_size']
@@ -379,6 +386,16 @@ class Trainer:
     def run(self):
         self._try_resume()
         cfg = self.cfg
+        # graceful stop on SIGTERM (the pipeline's wall-clock `timeout`):
+        # finish the in-flight step, save a resumable with-opt checkpoint,
+        # and exit — instead of dying mid-orbax-write (VERDICT r3: a killed
+        # save left model.orbax-checkpoint-tmp and resume fell back a stage)
+        import signal
+        self._stop = False
+
+        def _on_term(signum, frame):
+            self._stop = True
+        signal.signal(signal.SIGTERM, _on_term)
         # per-step keys via fold_in: resume at step k reproduces the exact
         # batch sequence of an uninterrupted run
         base_key = jax.random.PRNGKey(cfg.get('seed', 0) + 1)
@@ -426,7 +443,11 @@ class Trainer:
                     self.best_metric = key_metric
                     self._save('model_best')
 
-            if self.step % cfg['save_interval'] == 0:
+            if self.step % cfg['save_interval'] == 0 and not self._stop:
                 self._save('model', with_opt=True)
+            if self._stop:
+                print(f'SIGTERM at step {self.step}: saving resumable '
+                      f'checkpoint and exiting')
+                break
         self._save('model', with_opt=True)
         return self.params
