@@ -308,6 +308,23 @@ class SyntheticScene:
         self.seed = seed
         self.mesh = SolidMesh(shape, texture, cube_scale, seed)
         self._cache = {}
+        # committed render cache: deterministic renders keyed by all scene
+        # params. READ by default when present (cuts ~20s of painter's-algo
+        # rendering out of bench build, docs/profile.md §3); WRITTEN only with
+        # GEN6D_SYNTH_CACHE_WRITE=1 (scripts/cache_bench_renders.py) so the
+        # training pool's many ad-hoc scenes don't bloat the tree.
+        import os
+        key = (f'{shape}-{texture}-s{seed}-n{n_views}-{h}x{w}-f{f:g}-'
+               f'd{dist:g}-j{dist_jitter:g}-c{cube_scale:g}')
+        root = os.environ.get('GEN6D_SYNTH_CACHE')
+        if root is None:
+            root = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), 'assets',
+                'synth_cache')
+        self._disk_dir = os.path.join(root, key)
+        self._disk_write = bool(os.environ.get('GEN6D_SYNTH_CACHE_WRITE'))
+        if self._disk_write:
+            os.makedirs(self._disk_dir, exist_ok=True)
         self.point_cloud = self.mesh.point_cloud(2048, seed)
         self.center = np.zeros(3, np.float32)
         self.vert = np.array([0, 0, 1], np.float32)
@@ -315,7 +332,23 @@ class SyntheticScene:
 
     def render(self, i):
         if i not in self._cache:
-            self._cache[i] = self.mesh.render(self.poses[i], self.K, self.hw)
+            import os
+            path = os.path.join(self._disk_dir, f'{i}.png')
+            mpath = os.path.join(self._disk_dir, f'{i}_m.png')
+            if os.path.exists(path) and os.path.exists(mpath):
+                from PIL import Image
+                img = np.asarray(Image.open(path))
+                mask = np.asarray(Image.open(mpath)) > 0
+                self._cache[i] = (img, mask)
+            else:
+                self._cache[i] = self.mesh.render(self.poses[i], self.K,
+                                                  self.hw)
+                if self._disk_write:
+                    from PIL import Image
+                    img, mask = self._cache[i]
+                    Image.fromarray(img).save(path, optimize=True)
+                    Image.fromarray(mask.astype(np.uint8) * 255).save(
+                        mpath, optimize=True)
         return self._cache[i]
 
 

@@ -74,6 +74,15 @@ class Gen6DEstimator:
         # w-first quaternion undoing the refiner rotation head's systematic
         # near-identity bias (same calibration script); None = identity
         'refine_rot_correction': None,
+        # 'gather': XLA 4-tap gather warps (reference bilinear semantics,
+        # works everywhere); 'pallas': the windowed hat-matmul MXU kernel
+        # (ops/warp_pallas.py) for the refine prewarp + select crop — the
+        # gather lowering is the dominant device cost of the refine loop
+        # (docs/profile.md). Bands bound each warp's per-tile source
+        # footprint; see warp_pallas.warp_perspective_batch.
+        'warp_method': 'gather',
+        'warp_band_que': 192,
+        'warp_band_ref': 96,
     }
 
     def __init__(self, cfg=None, detector=None, selector=None, refiner=None):
@@ -286,11 +295,26 @@ class Gen6DEstimator:
                 position, scale_r2q, angle_r2q, ref_pose, ref_K, que_K, center)
         return run
 
-    def _refine_prewarp(self, que_img, que_K, pose_in_raw, ref_imgs, ref_poses,
-                        ref_Ks, norm_scale, norm_offset):
+    def _batch_warp(self, imgs, Hs, size, band):
+        """Batched homography warp, method-dispatched: 'pallas' runs the
+        windowed hat-matmul kernel (ops/warp_pallas.py); 'gather' the XLA
+        4-tap gather warp. Identical bilinear/zero-fill semantics."""
+        if self.cfg.get('warp_method') == 'pallas':
+            from gen6d_tpu.ops.warp_pallas import warp_perspective_batch
+            return warp_perspective_batch(imgs, Hs, (size, size), band=band)
+        # barrier: keep the per-view transform chain out of the warp's
+        # per-pixel fused index computation (2.5x end-to-end otherwise)
+        Hs = jax.lax.optimization_barrier(Hs)
+        return jax.vmap(lambda im, h: warp_perspective(im, h, (size, size)))(
+            imgs, Hs)
+
+    def _refine_pregeom(self, que_K, pose_in_raw, ref_poses, ref_Ks,
+                        norm_scale, norm_offset):
         """Single-query device geometry before the refiner network
-        (refiner.py:275-313): normalize pose, look-at warp the query, top-k
-        select + normalize reference views. vmapped by the batch path."""
+        (refiner.py:275-313), pixels untouched: normalize pose, look-at crop
+        transform for the query, top-k reference selection + their crop
+        transforms. vmapped by ``_refine_iter_batch``; the actual warps run
+        batched at the caller."""
         size = self.cfg['refine_size']
         margin = self.cfg['refine_margin']
         ref_num = self.cfg['refine_ref_num']
@@ -303,25 +327,20 @@ class Gen6DEstimator:
         in_f = size * (1 - margin) / diameter * in_dist
         scale = in_f / new_f
         position, _ = project_points(center[None], in_pose, que_K)
-        H, que_K_warp, in_pose_warp, que_pose_rect = look_at_crop_transform(
+        H_que, que_K_warp, in_pose_warp, que_pose_rect = look_at_crop_transform(
             que_K, in_pose, position[0], 0.0, scale, size, size)
-        que_warp = warp_perspective(que_img, H, (size, size))
 
         # select ref_num nearest reference views by view correlation
         # (select_reference_img_ids_refinement, database_utils.py:125-139)
         corr = view_correlation(in_pose_warp[None], ref_poses, center)[0]
         _, top_idx = jax.lax.top_k(corr, ref_num)
-        sel_imgs = ref_imgs[top_idx]
-        if sel_imgs.dtype == jnp.uint8:  # u8 storage (see build)
-            sel_imgs = sel_imgs.astype(jnp.float32) / 255.0
         sel_poses = ref_poses[top_idx]
         sel_Ks = ref_Ks[top_idx]
-
-        ref_crops, _, ref_K_new, ref_pose_new, _ = normalize_reference_views_device(
-            sel_imgs, None, sel_poses, sel_Ks, center, diameter, size,
-            margin, input_pose=in_pose_warp, input_K=que_K_warp)
-        return (que_warp, que_K_warp, in_pose_warp, que_pose_rect, ref_crops,
-                ref_pose_new, ref_K_new)
+        Hs_ref, ref_K_new, ref_pose_new, _ = rp.reference_crop_transforms(
+            sel_poses, sel_Ks, center, diameter, size, margin,
+            input_pose=in_pose_warp, input_K=que_K_warp)
+        return (H_que, que_K_warp, in_pose_warp, que_pose_rect, top_idx,
+                Hs_ref, ref_K_new, ref_pose_new)
 
     def _refine_compose(self, quat, scale_pr, offset_pr, in_pose_warp,
                         que_K_warp, que_pose_rect, norm_scale, norm_offset):
@@ -336,13 +355,25 @@ class Gen6DEstimator:
 
     def _refine_iter_batch(self, params, que_imgs, que_Ks, poses_in, ref_imgs,
                            ref_poses, ref_Ks, norm_scale, norm_offset):
-        """One batched refinement iteration: vmapped geometry around one
+        """One batched refinement iteration: vmapped geometry, then batched
+        warps (the hot pixel work — one kernel launch per warp site), then one
         batched refiner network call."""
-        (que_warp, que_K_warp, in_pose_warp, que_pose_rect, ref_crops,
-         ref_pose_new, ref_K_new) = jax.vmap(
-            self._refine_prewarp, in_axes=(0, 0, 0, None, None, None, None, None)
-        )(que_imgs, que_Ks, poses_in, ref_imgs, ref_poses, ref_Ks, norm_scale,
-          norm_offset)
+        size = self.cfg['refine_size']
+        (H_que, que_K_warp, in_pose_warp, que_pose_rect, top_idx, Hs_ref,
+         ref_K_new, ref_pose_new) = jax.vmap(
+            self._refine_pregeom, in_axes=(0, 0, None, None, None, None)
+        )(que_Ks, poses_in, ref_poses, ref_Ks, norm_scale, norm_offset)
+
+        que_warp = self._batch_warp(que_imgs, H_que, size,
+                                    self.cfg['warp_band_que'])
+        sel_imgs = ref_imgs[top_idx]  # qn, rn, hc, wc, 3
+        if sel_imgs.dtype == jnp.uint8:  # u8 storage (see build)
+            sel_imgs = sel_imgs.astype(jnp.float32) / 255.0
+        qn, rn, hc, wc, ch = sel_imgs.shape
+        ref_crops = self._batch_warp(
+            sel_imgs.reshape(qn * rn, hc, wc, ch),
+            Hs_ref.reshape(qn * rn, 3, 3), size,
+            self.cfg['warp_band_ref']).reshape(qn, rn, size, size, ch)
         out = self.refiner.apply(params, que_warp, que_K_warp, in_pose_warp,
                                  ref_crops, ref_pose_new, ref_K_new)
         scale_log2 = (out['scale'][:, 0] +
@@ -388,11 +419,15 @@ class Gen6DEstimator:
                             method='detect')
             positions, scales = self._decode_det(out)
 
-            def crop_one(img, pos, scl):
-                M = t2d.crop_transform_2d(pos, 1.0 / scl, 0.0, size)
-                return warp_affine(img, M, (size, size))
-
-            crops = jax.vmap(crop_one)(que_imgs, positions, scales)
+            # crop the queries around the detections (estimator.py:184),
+            # batched through the method-dispatched warp (the affine is a
+            # homography with zero perspective row)
+            Ms = jax.vmap(
+                lambda pos, scl: t2d.crop_transform_2d(pos, 1.0 / scl, 0.0,
+                                                       size))(positions, scales)
+            bottom = jnp.tile(jnp.asarray([[[0.0, 0.0, 1.0]]]), (qn, 1, 1))
+            crops = self._batch_warp(que_imgs, jnp.concatenate([Ms, bottom], 1),
+                                     size, self.cfg['warp_band_que'])
             logits, angles = sel.apply(sel_params, crops, ref_info['sel_feats'],
                                        ref_info['sel_pose_embed'],
                                        method='select')
@@ -420,9 +455,15 @@ class Gen6DEstimator:
             return poses
         return run
 
-    def predict_batch(self, que_imgs, que_Ks, mesh=None, shard_views=False):
+    def predict_batch(self, que_imgs, que_Ks, mesh=None, shard_views=False,
+                      block=True):
         """Batched fused prediction: que_imgs (qn,h,w,3) uint8/float,
         que_Ks (qn,3,3) -> poses (qn,3,4) numpy. The production serving path.
+
+        ``block=False`` returns the device array without waiting: dispatch is
+        async, so a server loop can enqueue batch k+1 while k computes
+        (double-buffering hides the host->device upload and result readback;
+        convert with np.asarray when needed).
 
         With ``mesh`` (a jax.sharding.Mesh with a 'dp' axis) the query batch is
         sharded over dp — the multi-chip pose server (BASELINE.json config #5);
@@ -484,7 +525,7 @@ class Gen6DEstimator:
                     if isinstance(x, jnp.ndarray) else x, ref_info)
         poses = fused(self.detector_params, self.selector_params,
                       self.refiner_params, que_imgs, que_Ks, ref_info)
-        return np.asarray(poses)
+        return np.asarray(poses) if block else poses
 
     def _get(self, name, maker):
         if name not in self._jit_cache:
