@@ -147,6 +147,32 @@ def convert_refiner(sd):
     return {'params': {'feature_net': fn, 'volume_net': vn, 'regressor': reg}}
 
 
+def convert_resnet18(sd, prefix='', fold_normalization=True):
+    """torchvision resnet18 state dict -> ResNet18 params (models/resnet.py;
+    reference ResNet18Pretrain, pretrain_models.py:113-195). Resnet convs are
+    bias-free, so entries carry only 'kernel'."""
+    from gen6d_tpu.models.resnet import fold_imagenet_normalization_resnet
+    pre = f'{prefix}.' if prefix else ''
+
+    def conv_nb(key):
+        return {'kernel': _np(sd[f'{pre}{key}.weight']).transpose(2, 3, 1, 0)}
+
+    p = {'conv1': conv_nb('conv1'), 'bn1': bn(sd, f'{pre}bn1')}
+    for li in range(1, 5):
+        for bi in range(2):
+            blk = {'conv1': conv_nb(f'layer{li}.{bi}.conv1'),
+                   'bn1': bn(sd, f'{pre}layer{li}.{bi}.bn1'),
+                   'conv2': conv_nb(f'layer{li}.{bi}.conv2'),
+                   'bn2': bn(sd, f'{pre}layer{li}.{bi}.bn2')}
+            if f'{pre}layer{li}.{bi}.downsample.0.weight' in sd:
+                blk['down_conv'] = conv_nb(f'layer{li}.{bi}.downsample.0')
+                blk['down_bn'] = bn(sd, f'{pre}layer{li}.{bi}.downsample.1')
+            p[f'layer{li}_{bi}'] = blk
+    if fold_normalization:
+        p = fold_imagenet_normalization_resnet(p)
+    return {'params': p}
+
+
 def load_torch_checkpoint(path):
     """Load a reference `model_best.pth` and return its network_state_dict."""
     import torch

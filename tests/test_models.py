@@ -349,3 +349,76 @@ class TestParityHarness:
             o2 = parity._run(kind, params)
             for k in o1:
                 np.testing.assert_array_equal(o1[k], o2[k])
+
+
+def torch_resnet18_trunk():
+    """torchvision resnet18 trunk (conv1..layer4) with torchvision's exact
+    state-dict keys, hand-built (torchvision is not in this env; structure
+    per reference pretrain_models.py:113-195)."""
+
+    class Basic(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = F.relu(self.bn1(self.conv1(x)))
+            return F.relu(self.bn2(self.conv2(y)) + idn)
+
+    class Trunk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = nn.Sequential(Basic(64, 64), Basic(64, 64))
+            self.layer2 = nn.Sequential(Basic(64, 128, 2), Basic(128, 128))
+            self.layer3 = nn.Sequential(Basic(128, 256, 2), Basic(256, 256))
+            self.layer4 = nn.Sequential(Basic(256, 512, 2), Basic(512, 512))
+
+        def forward(self, x):
+            x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+            outs = []
+            for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+                x = layer(x)
+                outs.append(x)
+            return outs
+
+    return Trunk()
+
+
+@pytest.mark.slow
+class TestResNet18:
+    def test_pyramid_matches_torch(self, rng):
+        """ResNet-18 pyramid vs torch at all four strides, through the
+        converter (incl. folded ImageNet normalization and the -inf-padded
+        3x3/2 maxpool)."""
+        from gen6d_tpu.models.resnet import ResNet18
+        from gen6d_tpu.models.vgg import IMAGENET_MEAN, IMAGENET_STD
+
+        t = torch_resnet18_trunk().eval()
+        with torch.no_grad():
+            randomize_bn_stats(t, rng)
+        params = C.convert_resnet18(t.state_dict())
+
+        img = rng.rand(2, 64, 96, 3).astype(np.float32)
+        x_t = torch.from_numpy(
+            ((img - IMAGENET_MEAN) / IMAGENET_STD).transpose(0, 3, 1, 2)
+            .astype(np.float32))
+        with torch.no_grad():
+            refs = [o.numpy().transpose(0, 2, 3, 1) for o in t(x_t)]
+
+        net = ResNet18(outputs=('s4', 's8', 's16', 's32'))
+        outs = jax.jit(net.apply)(params, jnp.asarray(img))
+        for o, r in zip(outs, refs):
+            assert o.shape == r.shape
+            np.testing.assert_allclose(np.asarray(o), r, atol=2e-4)
