@@ -192,7 +192,14 @@ class GenMOPMetaInfo:
 
     def __init__(self, object_name):
         self.object_name = object_name
-        meta = GENMOP_META_INFO[object_name]
+        if object_name in GENMOP_META_INFO:
+            meta = GENMOP_META_INFO[object_name]
+        else:
+            # objects beyond the 10 shipped ones (e.g. synthetic GenMOP-format
+            # test data) read gravity/forward from <obj>-ref/meta_info.txt,
+            # the same 2-row format CustomDatabase uses
+            d = np.loadtxt(f'{GENMOP_ROOT}/{object_name}-ref/meta_info.txt')
+            meta = {'gravity': d[0], 'forward': d[1]}
         self.gravity = np.asarray(meta['gravity'], np.float32)
         self.forward = np.asarray(meta['forward'], np.float32)
         self.object_point_cloud = load_ply_vertices(

@@ -24,6 +24,10 @@ def enable_persistent_cache():
         return
     try:
         import jax
+        # version-stamped subdirectory (ADVICE r3): entries from another
+        # jax/XLA version become visibly-absent directories rather than
+        # silently-missed root files, and can be pruned wholesale
+        loc = os.path.join(loc, f'jax-{jax.__version__}')
         jax.config.update('jax_compilation_cache_dir', loc)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
         # cache even when compile time is dominated by the backend (the axon
