@@ -91,6 +91,8 @@ def main():
     ap.add_argument('--profile', action='store_true')
     ap.add_argument('--trace_dir', type=str, default=None,
                     help='write a jax.profiler trace of the fused program')
+    ap.add_argument('--batch', type=int, default=8,
+                    help='serving batch size (throughput A/B)')
     args, _ = ap.parse_known_args()
 
     import os
@@ -118,7 +120,7 @@ def main():
     imgs = np.stack([db.get_image(i) for i in que_ids], 0)
     K = db.get_K('0')
     Ks = np.stack([K] * len(imgs), 0)
-    batch = 8
+    batch = args.batch
     n_batches = len(imgs) // batch
 
     # warmup: compiles the fused batched program + the single-query path
@@ -170,7 +172,7 @@ def main():
 
     print(json.dumps({
         'metric': 'poses/sec/chip end-to-end (synthetic 480x640, 64 refs, '
-                  'fused detect+select+refine x3, batch=8, bf16)',
+                  f'fused detect+select+refine x3, batch={batch}, bf16)',
         'value': round(pps, 3),
         'unit': 'poses/s',
         'vs_baseline': round(pps / 30.0, 3),
