@@ -98,3 +98,40 @@ def test_compiled_volume_kernels():
     assert tpu_available(), 'no TPU device visible'
     r = _run(_BODY, 900)
     assert 'COMPILED-OK' in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
+
+
+_WARP_BODY = """
+import numpy as np
+import jax
+import jax.numpy as jnp
+from gen6d_tpu.ops.warp_pallas import warp_perspective_batch
+from gen6d_tpu.ops.warp import warp_perspective
+
+rng = np.random.RandomState(1)
+n, h, w = 4, 96, 128
+imgs = jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32))
+Hs = np.tile(np.eye(3, dtype=np.float32)[None], (n, 1, 1))
+Hs[:, 0, 0] = 1.0 + rng.rand(n) * 0.4
+Hs[:, 1, 1] = 1.0 + rng.rand(n) * 0.4
+Hs[:, 0, 2] = rng.randn(n) * 6
+Hs[:, 1, 2] = rng.randn(n) * 6
+Hs[:, 2, 0:2] = rng.randn(n, 2) * 1e-4
+Hs = jnp.asarray(Hs)
+
+out_p = jax.jit(lambda i, H: warp_perspective_batch(i, H, (64, 64), band=96))(imgs, Hs)
+out_g = jax.jit(jax.vmap(lambda i, H: warp_perspective(i, H, (64, 64))))(imgs, Hs)
+err = float(jnp.max(jnp.abs(out_p - out_g)))
+assert err < 1e-2, f'warp mismatch {err}'
+print('WARP-COMPILED-OK', err)
+"""
+
+
+@pytest.mark.skipif(os.environ.get('GEN6D_TPU_TESTS', '0') != '1',
+                    reason='TPU compiled-mode tests are opt-in '
+                           '(GEN6D_TPU_TESTS=1); they need an idle TPU')
+def test_compiled_warp_kernel():
+    """Mosaic-compiled hat-matmul warp vs the XLA gather warp on real TPU
+    (the interpret-mode parity lives in tests/test_warp_pallas.py)."""
+    assert tpu_available(), 'no TPU device visible'
+    r = _run(_WARP_BODY, 900)
+    assert 'WARP-COMPILED-OK' in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
