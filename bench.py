@@ -20,9 +20,9 @@ import time
 import numpy as np
 
 
-def build_estimator():
+def build_estimator(cfg='configs/gen6d_synthetic.yaml'):
     from gen6d_tpu.pipeline.loader import load_estimator
-    return load_estimator('configs/gen6d_synthetic.yaml')
+    return load_estimator(cfg)
 
 
 def profile_stages(est, imgs, Ks, batch):
@@ -93,6 +93,8 @@ def main():
                     help='write a jax.profiler trace of the fused program')
     ap.add_argument('--batch', type=int, default=8,
                     help='serving batch size (throughput A/B)')
+    ap.add_argument('--cfg', type=str, default='configs/gen6d_synthetic.yaml',
+                    help='estimator config (A/B of checkpoints/warp method)')
     args, _ = ap.parse_known_args()
 
     import os
@@ -107,7 +109,7 @@ def main():
     from gen6d_tpu.utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
 
-    est = build_estimator()
+    est = build_estimator(args.cfg)
 
     db = D.parse_database_name('synthetic/128')
     t0 = time.time()
