@@ -43,11 +43,23 @@ def main():
     est = load_estimator(args.cfg)
 
     def raw_out(params, que_imgs, que_Ks, poses_in, ri, rp, rk, ns, no):
-        (que_warp, que_K_warp, in_pose_warp, _, ref_crops, ref_pose_new,
-         ref_K_new) = jax.vmap(
-            est._refine_prewarp, in_axes=(0, 0, 0, None, None, None, None,
-                                          None))(
-            que_imgs, que_Ks, poses_in, ri, rp, rk, ns, no)
+        # mirror of estimator._refine_iter_batch's prelude, returning the RAW
+        # scale/rotation heads (before the config's correction constants)
+        size = est.cfg['refine_size']
+        (H_que, que_K_warp, in_pose_warp, _, top_idx, Hs_ref, ref_K_new,
+         ref_pose_new) = jax.vmap(
+            est._refine_pregeom, in_axes=(0, 0, None, None, None, None))(
+            que_Ks, poses_in, rp, rk, ns, no)
+        que_warp = est._batch_warp(que_imgs, H_que, size,
+                                   est.cfg['warp_band_que'])
+        sel_imgs = ri[top_idx]
+        if sel_imgs.dtype == jnp.uint8:
+            sel_imgs = sel_imgs.astype(jnp.float32) / 255.0
+        qn, rn, hc, wc, ch = sel_imgs.shape
+        ref_crops = est._batch_warp(
+            sel_imgs.reshape(qn * rn, hc, wc, ch),
+            Hs_ref.reshape(qn * rn, 3, 3), size,
+            est.cfg['warp_band_ref']).reshape(qn, rn, size, size, ch)
         out = est.refiner.apply(params, que_warp, que_K_warp, in_pose_warp,
                                 ref_crops, ref_pose_new, ref_K_new)
         return out['scale'][:, 0], out['rotation']

@@ -40,9 +40,12 @@ projs += rng.rand(rfn, 3, 4).astype(np.float32) * 0.1
 projs = jnp.asarray(projs)
 verts = jnp.asarray((rng.rand(pn, 3).astype(np.float32) - 0.5) * 2)
 
-# compiled Pallas vs XLA reference path
-m1, s1 = jax.jit(volume_sample_meanstd)(feats, projs, verts)
-m2, s2 = jax.jit(volume_sample_meanstd_xla)(feats, projs, verts)
+# compiled Pallas vs XLA reference path. Forced-f32 matmul precision:
+# the TPU default is bf16, whose projection/interp matmuls differ from the
+# kernel's preferred_element_type=f32 dots by ~2e-3 on O(1) values
+with jax.default_matmul_precision('float32'):
+    m1, s1 = jax.jit(volume_sample_meanstd)(feats, projs, verts)
+    m2, s2 = jax.jit(volume_sample_meanstd_xla)(feats, projs, verts)
 err_m = float(jnp.max(jnp.abs(m1 - m2)))
 err_s = float(jnp.max(jnp.abs(s1 - s2)))
 assert err_m < 1e-3, f'mean mismatch {err_m}'
