@@ -43,22 +43,34 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 32  # output tile edge; tp = TILE*TILE points per grid step
 
 
-def _warp_kernel(starts_ref, src_ref, coords_ref, out_ref, *, c, band, tp):
+def _warp_kernel(starts_ref, src_ref, coords_ref, out_ref, *, c, band_r,
+                 band_c, tp):
     """Grid: (n, T). src_ref: (1, c, hs, ws) VMEM (whole image, resident
     across the T axis); coords_ref: (1, 1, tp, 2) absolute source pixel
-    coords; starts_ref: (1, 1, 2) SMEM int32 window origin (row0, col0);
-    out_ref: (1, 1, c, tp)."""
-    r0 = starts_ref[0, 0, 0]
-    c0 = starts_ref[0, 0, 1]
+    coords; starts_ref: the FULL (n, T, 2) int32 window-origin array in SMEM
+    indexed by program id (Mosaic requires SMEM block dims be full or
+    8/128-divisible — a (1, 1, 2) block is rejected in compiled mode);
+    out_ref: (1, 1, c, tp).
+
+    Window origins are pre-aligned by ``_window_starts`` — rows to 8,
+    columns to 128 — because Mosaic must statically prove dynamic-slice
+    index alignment on the sublane/lane dims; the bands carry the extra
+    slack (band_r = band+8, band_c = next multiple of 128 above band+128)."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    r0 = starts_ref[i, t, 0]
+    c0 = starts_ref[i, t, 1]
     x = coords_ref[0, 0, :, 0] - c0.astype(jnp.float32)
     y = coords_ref[0, 0, :, 1] - r0.astype(jnp.float32)
     # hat weights against the window's local row/col grid
-    ii = jax.lax.broadcasted_iota(jnp.int32, (tp, band), 1).astype(jnp.float32)
-    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - ii))  # tp, band
-    Wu = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ii))  # tp, band
+    iv = jax.lax.broadcasted_iota(jnp.int32, (tp, band_r), 1).astype(jnp.float32)
+    iu = jax.lax.broadcasted_iota(jnp.int32, (tp, band_c), 1).astype(jnp.float32)
+    Wv = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - iv))  # tp, band_r
+    Wu = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - iu))  # tp, band_c
     for ch in range(c):  # static unroll; each channel is a contiguous plane
-        win = src_ref[0, ch, pl.ds(r0, band), pl.ds(c0, band)]
-        rows = jnp.dot(Wv, win, preferred_element_type=jnp.float32)  # tp, band
+        win = src_ref[0, ch, pl.ds(pl.multiple_of(r0, 8), band_r),
+                      pl.ds(pl.multiple_of(c0, 128), band_c)]
+        rows = jnp.dot(Wv, win, preferred_element_type=jnp.float32)  # tp, band_c
         out_ref[0, 0, ch, :] = jnp.sum(Wu * rows, axis=1)
 
 
@@ -89,14 +101,19 @@ def _tile_coords(Hs, out_hw):
     return coords
 
 
-def _window_starts(coords, src_hw, band):
-    """Per-tile source window origins, clamped into the image."""
+def _window_starts(coords, src_hw, band_r, band_c):
+    """Per-tile source window origins: clamped into the image and aligned
+    (rows to 8, cols to 128) so Mosaic can statically prove the kernel's
+    dynamic-slice index alignment. The aligned flooring loses up to 7 rows /
+    127 cols at the window head — the widened bands restore coverage."""
     hs, ws = src_hw
     mins = jnp.floor(jnp.min(coords, axis=2)).astype(jnp.int32)  # n,T,2 (x,y)
     # (x,y) -> (row, col); back off 1px so the floor tap is interior
-    starts = jnp.stack([mins[..., 1] - 1, mins[..., 0] - 1], -1)
-    lim = jnp.asarray([hs - band, ws - band], jnp.int32)
-    return jnp.clip(starts, 0, lim)
+    r = ((mins[..., 1] - 1) // 8) * 8
+    c = ((mins[..., 0] - 1) // 128) * 128
+    r = jnp.clip(r, 0, ((hs - band_r) // 8) * 8)
+    c = jnp.clip(c, 0, ((ws - band_c) // 128) * 128)
+    return jnp.stack([r, c], -1)
 
 
 @functools.partial(jax.jit, static_argnames=('out_hw', 'band', 'interpret'))
@@ -112,19 +129,26 @@ def warp_perspective_batch(imgs, Hs, out_hw, band=96, interpret=False):
     n, hs, ws, c = imgs.shape
     ho, wo = out_hw
     assert ho % TILE == 0 and wo % TILE == 0, out_hw
-    assert band % 8 == 0 and band <= hs and band <= ws, (band, hs, ws)
+    assert band % 8 == 0, band
+    # alignment slack (see _warp_kernel): rows 8-aligned, cols 128-aligned;
+    # fall back to the full dimension when the padded band reaches it
+    band_r = band + 8 if band + 8 < hs else hs
+    band_c = 128 * -(-(band + 128) // 128)
+    if band_c >= ws:
+        band_c = ws
     T = (ho // TILE) * (wo // TILE)
     tp = TILE * TILE
     coords = _tile_coords(jnp.asarray(Hs, jnp.float32), out_hw)
-    starts = _window_starts(coords, (hs, ws), band)
+    starts = _window_starts(coords, (hs, ws), band_r, band_c)
     src = jnp.transpose(imgs.astype(jnp.float32), (0, 3, 1, 2))  # n,c,hs,ws
 
-    kernel = functools.partial(_warp_kernel, c=c, band=band, tp=tp)
+    kernel = functools.partial(_warp_kernel, c=c, band_r=band_r,
+                               band_c=band_c, tp=tp)
     out = pl.pallas_call(
         kernel,
         grid=(n, T),
         in_specs=[
-            pl.BlockSpec((1, 1, 2), lambda i, t: (i, t, 0),
+            pl.BlockSpec((n, T, 2), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, hs, ws), lambda i, t: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
