@@ -56,6 +56,24 @@ def main():
     for tag, scales_cfg in (('3-scale (-1,-0.5,0)', (-1.0, -0.5, 0.0)),
                             ('4-scale (+0.5)', (-1.0, -0.5, 0.0, 0.5))):
         det_mod = Detector({**base_cfg, 'detection_scales': scales_cfg})
+        det_params = est.detector_params
+        n_tr = len(base_cfg.get('detection_scales', (-1.0, -0.5, 0.0)))
+        if len(scales_cfg) != n_tr:
+            # the fusion Dense consumes scale-major/level-minor inputs
+            # (3 per scale): the trained 3-scale kernel is weight-expanded
+            # by copying the 0.0-scale rows into the +0.5 slots — the
+            # 4-scale variant cannot be a pure config flip on from-scratch
+            # 3-scale weights (reference detector.py:141 trained with 4)
+            import jax as _jax
+            det_params = _jax.tree.map(lambda x: x, est.detector_params)
+            p = {k: dict(v) if isinstance(v, dict) else v
+                 for k, v in det_params['params'].items()}
+            k0 = np.asarray(p['score_conv0']['kernel'])  # (n_tr*3, 64)
+            rows0 = k0[(n_tr - 1) * 3:n_tr * 3]
+            p['score_conv0'] = dict(p['score_conv0'],
+                                    kernel=jnp.asarray(
+                                        np.concatenate([k0, rows0], 0)))
+            det_params = {'params': p}
         det_fn = jax.jit(lambda p, q, rf, m=det_mod: m.apply(
             p, q, rf, method='detect'))
         ious = []
@@ -66,7 +84,7 @@ def main():
                                    dist_jitter=0.0)
             imgs = np.stack([scene.render(i)[0] for i in range(args.qn)], 0)
             que = jnp.asarray(imgs.astype(np.float32) / 255.0)
-            out = det_fn(est.detector_params, que,
+            out = det_fn(det_params, que,
                          est.ref_info['det_ref_feats'])
             pos, scl = parse_detection(out['scores'], out['select_pr_scale'],
                                        out['select_pr_offset'])
