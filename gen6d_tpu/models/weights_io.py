@@ -56,6 +56,9 @@ def load_params_npz(path, ref_params):
         key = jax.tree_util.keystr(kp)
         if key not in arrs:
             raise KeyError(f'{path} is missing parameter {key}')
-        return jnp.asarray(arrs[key], dtype=jnp.asarray(ref_leaf).dtype)
+        # HOST cast (ml_dtypes handles bf16): an eager jnp.asarray(dtype=)
+        # per leaf is a one-op XLA program — ~0.45s axon compile x 26 leaves
+        return arrs[key].astype(jnp.asarray(ref_leaf).dtype)
 
-    return jax.tree_util.tree_map_with_path(fix, ref_params)
+    # one transfer per leaf, zero compiles (vs per-leaf eager converts)
+    return jax.device_put(jax.tree_util.tree_map_with_path(fix, ref_params))

@@ -30,7 +30,7 @@ from gen6d_tpu.geometry.pose import (camera_position, normalize_pose,
                                      pose_inverse)
 from gen6d_tpu.geometry.solvers import (
     compose_sim_pose, estimate_pose_from_similarity_transform_compose,
-    pose_sim_to_pose_rigid)
+    pnp_gauss_newton, pose_sim_to_pose_rigid)
 from gen6d_tpu.models.detector import Detector, parse_detection
 from gen6d_tpu.models.refiner import VolumeRefiner
 from gen6d_tpu.models.selector import ViewpointSelector
@@ -74,6 +74,16 @@ class Gen6DEstimator:
         # w-first quaternion undoing the refiner rotation head's systematic
         # near-identity bias (same calibration script); None = identity
         'refine_rot_correction': None,
+        # >1: average the last N refine iterates. At the refine fixed point
+        # the per-iteration pose estimates jitter around the target (each
+        # iteration crops slightly differently -> independent network noise;
+        # docs/stage_diagnosis.md: ~6 px drift even from GT init), so
+        # averaging reduces the variance ~sqrt(N). Implemented as the
+        # reference's own smoothing trick (predict.py:18-26,69) applied
+        # across refine iterates instead of video frames: project a 3D box
+        # around the object with each iterate's pose, average the 2D
+        # points, re-solve with PnP. Runs inside the fused program.
+        'refine_avg': 0,
         # 'gather': XLA 4-tap gather warps (reference bilinear semantics,
         # works everywhere); 'pallas': the windowed hat-matmul MXU kernel
         # (ops/warp_pallas.py) for the refine prewarp + select crop — the
@@ -171,6 +181,8 @@ class Gen6DEstimator:
         det_ref_feats = jax.jit(
             lambda p, x: self.detector.apply(p, x, method='load_ref'))(
                 self.detector_params, crops[:cfg['det_ref_view_num']])
+        if _timing:
+            jax.block_until_ready(det_ref_feats)
         tic('detector ref feats')
         sel_cache = jax.jit(
             lambda p, a, b, c, d: self.selector.apply(p, a, b, c, d,
@@ -202,16 +214,26 @@ class Gen6DEstimator:
                                                         with_masks=False,
                                                         as_uint8=True)
             tic('refine gather (host)')
-            # jitted (an eager vmap here cost 230s of per-op axon compiles)
+            # jitted (an eager vmap here cost 230s of per-op axon compiles);
+            # result STAYS ON DEVICE: the first D2H readback inside build hit
+            # a 14-180s axon relay stall (timeline: compile done in 0.45s,
+            # then a dead gap blocked in array._value) — and nothing here
+            # needs host values
             norm_poses = self._get('norm_poses', lambda: jax.jit(
                 jax.vmap(normalize_pose, in_axes=(0, None, None))))
-            poses_e = np.asarray(norm_poses(jnp.asarray(poses_e), norm_scale,
-                                            jnp.asarray(norm_offset)))
+            poses_e = norm_poses(jnp.asarray(poses_e), norm_scale,
+                                 jnp.asarray(norm_offset))
+            if _timing:
+                jax.block_until_ready(poses_e)
+                tic('refine norm poses')
             # stored uint8: the refine prewarp gathers (qn, ref_num) views per
             # iteration — u8 cuts that HBM stream 4x vs f32 (the dominant cost
             # of the refine stage per the round-2 trace, docs/profile.md);
             # converted to f32 after the view gather.
             imgs_dev = jnp.asarray(imgs_e)  # u8 upload, once
+            if _timing:
+                jax.block_until_ready(imgs_dev)
+                tic('refine u8 upload')
             canon = int(cfg.get('refine_canon_size') or 0)
             if canon:
                 margin_c = float(cfg['refine_canon_margin'])
@@ -233,8 +255,11 @@ class Gen6DEstimator:
                     'build_canon', _build_canon_fn)(
                     imgs_dev, jnp.asarray(poses_e), jnp.asarray(Ks_e),
                     jnp.asarray(object_vert))
-                poses_e = np.asarray(poses_c)
-                Ks_e = np.asarray(Ks_c)
+                if _timing:
+                    jax.block_until_ready(imgs_dev)
+                    tic('refine build_canon')
+                poses_e = poses_c  # device arrays; no D2H round trip
+                Ks_e = Ks_c
             self.ref_info.update({
                 'refine_imgs': imgs_dev,
                 'refine_poses': jnp.asarray(poses_e),
@@ -391,6 +416,32 @@ class Gen6DEstimator:
             quat, 2.0 ** scale_log2, out['offset'],
             in_pose_warp, que_K_warp, que_pose_rect, norm_scale, norm_offset)
 
+    def _avg_refine_traj(self, traj, que_Ks, center, norm_scale):
+        """Average the last-k refine iterates into one pose per query:
+        project an object-diameter 3D box with every iterate's pose, average
+        the 2D projections across iterates, re-solve with PnP initialized at
+        the last iterate. traj: (k, qn, 3, 4) -> (qn, 3, 4). This is the
+        reference's smoothing trick (predict.py:18-26,69) applied across
+        refine iterations instead of video frames; see cfg['refine_avg']."""
+        signs = jnp.asarray([[sx, sy, sz] for sx in (-1.0, 1.0)
+                             for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)])
+        # half-diameter box in the raw world frame (norm_scale = 2/diameter)
+        corners = center[None] + (0.5 / norm_scale) * signs  # (8, 3)
+
+        def one(traj_q, K):
+            pts = jax.vmap(lambda p: project_points(corners, p, K)[0])(traj_q)
+            return pnp_gauss_newton(corners, pts.mean(0), K, traj_q[-1])
+
+        return jax.vmap(one, in_axes=(1, 0))(traj, que_Ks)
+
+    def _avg_refine_fn(self):
+        @jax.jit
+        def run(traj, que_K, center, norm_scale):
+            """Single-query iterate averaging: traj (k,3,4) -> (3,4)."""
+            return self._avg_refine_traj(traj[:, None], que_K[None], center,
+                                         norm_scale)[0]
+        return run
+
     def _refine_fn(self):
         @jax.jit
         def run(params, que_img, que_K, pose_in_raw, ref_imgs, ref_poses,
@@ -411,6 +462,7 @@ class Gen6DEstimator:
         sel = self.selector
         size = self.cfg['ref_resolution']
         refine_iter = self.cfg['refine_iter']
+        refine_avg = min(int(self.cfg.get('refine_avg') or 0), refine_iter)
 
         @jax.jit
         def run(det_params, sel_params, ref_params, que_imgs, que_Ks, ref_info):
@@ -449,9 +501,13 @@ class Gen6DEstimator:
                     ref_info['refine_imgs'], ref_info['refine_poses'],
                     ref_info['refine_Ks'], ref_info['norm_scale'],
                     ref_info['norm_offset'])
-                return poses, None
+                return poses, (poses if refine_avg > 1 else None)
 
-            poses, _ = jax.lax.scan(body, pose0, None, length=refine_iter)
+            poses, traj = jax.lax.scan(body, pose0, None, length=refine_iter)
+            if refine_avg > 1:
+                poses = self._avg_refine_traj(
+                    traj[refine_iter - refine_avg:], que_Ks,
+                    ref_info['center'], ref_info['norm_scale'])
             return poses
         return run
 
@@ -582,4 +638,11 @@ class Gen6DEstimator:
                                  self.ref_info['norm_offset'])
                 refine_poses.append(np.asarray(pose_pr))
             inter_results['refine_poses'] = refine_poses
+            k = min(int(self.cfg.get('refine_avg') or 0),
+                    len(refine_poses) - 1)
+            if k > 1:
+                avg = self._get('avg_refine', self._avg_refine_fn)
+                pose_pr = avg(jnp.asarray(refine_poses[-k:]), que_K,
+                              self.ref_info['center'],
+                              self.ref_info['norm_scale'])
         return np.asarray(pose_pr), inter_results

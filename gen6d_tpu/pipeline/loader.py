@@ -24,20 +24,27 @@ def load_cfg(path):
 
 
 def _random_init(network, kind, key):
+    # example args built in NUMPY: every eager jnp op here (tile /
+    # .at[].set / asarray) is a separate one-op XLA program that the axon
+    # backend compiles for ~0.45s each — across the three networks this was
+    # ~25s of load_estimator wall time (docs/profile.md build_s breakdown)
+    z = np.zeros
     if kind == 'detector':
-        return jax.jit(network.init)(key, jnp.zeros((2, 128, 128, 3)),
-                                     jnp.zeros((1, 128, 128, 3)))
+        return jax.jit(network.init)(key, z((2, 128, 128, 3), np.float32),
+                                     z((1, 128, 128, 3), np.float32))
+    pose = np.eye(3, 4, dtype=np.float32)
+    pose[2, 3] = 3.0
     if kind == 'selector':
-        poses = jnp.tile(jnp.eye(3, 4)[None], (3, 1, 1)).at[:, 2, 3].set(3.0)
-        return jax.jit(network.init)(key, jnp.zeros((5, 3, 128, 128, 3)), poses,
-                                     jnp.zeros(3), jnp.asarray([0.0, 0, 1]),
-                                     jnp.zeros((1, 128, 128, 3)))
-    K = jnp.asarray([[300.0, 0, 64], [0, 300, 64], [0, 0, 1]])[None]
-    pose = jnp.eye(3, 4)[None].at[:, 2, 3].set(3.0)
-    return jax.jit(network.init)(key, jnp.zeros((1, 128, 128, 3)), K, pose,
-                                 jnp.zeros((1, 2, 128, 128, 3)),
-                                 jnp.tile(pose[:, None], (1, 2, 1, 1)),
-                                 jnp.tile(K[:, None], (1, 2, 1, 1)))
+        poses = np.tile(pose[None], (3, 1, 1))
+        return jax.jit(network.init)(key, z((5, 3, 128, 128, 3), np.float32),
+                                     poses, z(3, np.float32),
+                                     np.asarray([0.0, 0, 1], np.float32),
+                                     z((1, 128, 128, 3), np.float32))
+    K = np.asarray([[300.0, 0, 64], [0, 300, 64], [0, 0, 1]], np.float32)[None]
+    return jax.jit(network.init)(key, z((1, 128, 128, 3), np.float32), K,
+                                 pose[None], z((1, 2, 128, 128, 3), np.float32),
+                                 np.tile(pose[None, None], (1, 2, 1, 1)),
+                                 np.tile(K[:, None], (1, 2, 1, 1)))
 
 
 def _npz_fallback(cfg):
@@ -64,7 +71,7 @@ def load_network(cfg, dtype=None):
     if ckpt and ckpt.get('type') == 'torch' and os.path.exists(ckpt['path']):
         sd = load_torch_checkpoint(ckpt['path'])
         params = name2converter[kind](sd)
-        params = jax.tree.map(jnp.asarray, params)
+        params = jax.device_put(params)  # one transfer per leaf, no compiles
         print(f'loaded {kind} from torch checkpoint {ckpt["path"]}')
     elif ckpt and ckpt.get('type') == 'orbax' and os.path.exists(ckpt['path']):
         import orbax.checkpoint as ocp

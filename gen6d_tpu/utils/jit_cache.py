@@ -29,9 +29,12 @@ def enable_persistent_cache():
         # silently-missed root files, and can be pruned wholesale
         loc = os.path.join(loc, f'jax-{jax.__version__}')
         jax.config.update('jax_compilation_cache_dir', loc)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-        # cache even when compile time is dominated by the backend (the axon
-        # remote-compile path reports short host-side compile times)
+        # cache EVERYTHING: the axon remote-compile path reports near-zero
+        # host-side compile times even for programs whose remote compile takes
+        # a minute (e.g. the detector load_ref VGG sweep: 58s wall, reported
+        # <1s), so any time/size gate silently drops exactly the entries that
+        # matter. Tiny-program entries cost a few KB each.
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     except Exception:
         pass

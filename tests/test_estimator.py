@@ -181,6 +181,52 @@ class TestRefineComposition:
         np.testing.assert_allclose(out[:, 3], pose_in[:, 3], atol=1e-3)
 
 
+class TestRefineAveraging:
+    def test_avg_traj_fixed_point(self, built_estimator):
+        """Averaging a trajectory of identical poses must return that pose
+        (project -> mean -> PnP re-solve is exact at consensus)."""
+        est, db = built_estimator
+        pose = jnp.asarray(db.scene.poses[3])
+        traj = jnp.tile(pose[None, None], (3, 1, 1, 1))  # (k=3, qn=1, 3, 4)
+        out = np.array(est._avg_refine_traj(
+            traj, jnp.asarray(db.scene.K)[None], est.ref_info['center'],
+            est.ref_info['norm_scale']))[0]
+        ang = float(rotation_angle(jnp.asarray(out[:, :3]) @ pose[:, :3].T))
+        assert ang < 1e-3
+        np.testing.assert_allclose(out[:, 3], pose[:, 3], atol=1e-3)
+
+    def test_avg_traj_reduces_jitter(self, built_estimator):
+        """Symmetric translation jitter around a target pose must average
+        out: the averaged pose is closer to the target than the iterates."""
+        est, db = built_estimator
+        pose = np.asarray(db.scene.poses[3])
+        eps = np.zeros((3, 4), np.float32)
+        eps[0, 3] = 0.05
+        traj = jnp.asarray(np.stack([pose + eps, pose - eps, pose + eps,
+                                     pose - eps])[:, None])
+        out = np.array(est._avg_refine_traj(
+            traj, jnp.asarray(db.scene.K)[None], est.ref_info['center'],
+            est.ref_info['norm_scale']))[0]
+        err_avg = np.linalg.norm(out[:, 3] - pose[:, 3])
+        assert err_avg < 0.25 * np.linalg.norm(eps[:, 3])
+
+    def test_predict_with_refine_avg(self, models):
+        det, sel, refi = models
+        est = Gen6DEstimator({'ref_view_num': 8, 'det_ref_view_num': 4,
+                              'refine_even_num': 12, 'refine_iter': 3,
+                              'refine_avg': 3},
+                             detector=det, selector=sel, refiner=refi)
+        db = small_db()
+        est.build(db, 'all')
+        img, _ = db.scene.render(1)
+        pose, inter = est.predict(img, db.scene.K)
+        assert pose.shape == (3, 4) and np.all(np.isfinite(pose))
+        # fused batch path agrees in shape and stays finite too
+        poses = est.predict_batch(np.stack([img, img]),
+                                  np.stack([db.scene.K, db.scene.K]))
+        assert poses.shape == (2, 3, 4) and np.all(np.isfinite(poses))
+
+
 class TestPredict:
     def test_full_predict_runs(self, built_estimator):
         est, db = built_estimator
