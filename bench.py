@@ -172,9 +172,12 @@ def main():
                     for k, v in profile_stages(est, imgs, Ks, batch).items()}
         detail['stage_ms_batch8'] = stage_ms
 
+    ri = est.cfg.get('refine_iter')
+    ra = est.cfg.get('refine_avg') or 0
+    refine_tag = f'refine x{ri}' + (f'+avg{ra}' if ra else '')
     print(json.dumps({
         'metric': 'poses/sec/chip end-to-end (synthetic 480x640, 64 refs, '
-                  f'fused detect+select+refine x3, batch={batch}, bf16)',
+                  f'fused detect+select+{refine_tag}, batch={batch}, bf16)',
         'value': round(pps, 3),
         'unit': 'poses/s',
         'vs_baseline': round(pps / 30.0, 3),

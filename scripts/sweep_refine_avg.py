@@ -65,7 +65,19 @@ def main():
         est.predict_batch(imgs[:args.batch], Ks[:args.batch])
         batch_s = time.time() - t0
         m = compute_metrics(object_pts, diam, pose_gt, poses, Ks)
+        # per-query projection errors: percentiles show whether prj-5 is a
+        # variance problem (median near 5px) or a bias/outlier problem
+        import jax
+        from gen6d_tpu.geometry.metrics import pose_errors
+        import jax.numpy as jnp
+        prj_errs, _, _ = jax.vmap(pose_errors, in_axes=(None, 0, 0, 0))(
+            jnp.asarray(object_pts, jnp.float32), jnp.asarray(poses),
+            jnp.asarray(pose_gt), jnp.asarray(Ks, jnp.float32))
+        prj_errs = np.asarray(prj_errs)
         row = {'refine_iter': it, 'refine_avg': avg,
+               'prj_p50': round(float(np.percentile(prj_errs, 50)), 2),
+               'prj_p75': round(float(np.percentile(prj_errs, 75)), 2),
+               'prj_p90': round(float(np.percentile(prj_errs, 90)), 2),
                'add-0.1d': round(float(m['add-0.1d']), 4),
                'prj-5': round(float(m['prj-5']), 4),
                'obj_err': round(float(m['obj_err_mean']), 4),
