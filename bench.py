@@ -170,7 +170,7 @@ def main():
     if args.profile:
         stage_ms = {k: round(v * 1e3, 1)
                     for k, v in profile_stages(est, imgs, Ks, batch).items()}
-        detail['stage_ms_batch8'] = stage_ms
+        detail[f'stage_ms_batch{batch}'] = stage_ms
 
     ri = est.cfg.get('refine_iter')
     ra = est.cfg.get('refine_avg') or 0

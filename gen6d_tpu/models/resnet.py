@@ -79,19 +79,29 @@ class _BasicBlock(nn.Module):
 
 
 class ResNet18(nn.Module):
-    """Pyramid ResNet-18; returns the stage outputs named by ``outputs``."""
+    """Pyramid ResNet-18; returns the stage outputs named by ``outputs``.
+
+    ``folded_normalization`` (default True, matching
+    ``convert_resnet18(fold_normalization=True)``) selects conv1's border
+    padding value: mean-padding is border-exact only when the ImageNet
+    normalization is folded into conv1 (mean == zero in the normalized
+    domain); with external normalization torch zero-pads the normalized
+    input, so the pad must be 0 (ADVICE r4)."""
     outputs: Sequence[str] = ('s8', 's16', 's32')
     dtype: object = None
+    folded_normalization: bool = True
 
     @nn.compact
     def __call__(self, x):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        # pad conv1's input with the ImageNet mean: with the normalization
-        # folded into the kernel this equals torch's zero padding in the
-        # normalized domain (see vgg._pad_with_mean)
+        # pad conv1's input with the ImageNet mean when normalization is
+        # folded into the kernel (equals torch's zero padding in the
+        # normalized domain, see vgg._pad_with_mean); zeros otherwise
         n, h, w, c = x.shape
-        mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+        mean = jnp.asarray(
+            IMAGENET_MEAN if self.folded_normalization else np.zeros(3),
+            x.dtype)
         row = jnp.broadcast_to(mean, (n, 3, w, c))
         x = jnp.concatenate([row, x, row], axis=1)
         col = jnp.broadcast_to(mean, (n, h + 6, 3, c))

@@ -136,6 +136,14 @@ def warp_perspective_batch(imgs, Hs, out_hw, band=96, interpret=False):
     band_c = 128 * -(-(band + 128) // 128)
     if band_c >= ws:
         band_c = ws
+    # _window_starts floors the clip bound to the 8/128 alignment grid; for a
+    # non-multiple source dim (with the band below it) that drops up to 7
+    # bottom rows / 127 right cols of coverage — in-image samples there would
+    # silently output 0 (ADVICE r4). All current call sites use 640/480/256/128.
+    assert band_r == hs or hs % 8 == 0, \
+        f'source height {hs} must be a multiple of 8 when banded ({band_r})'
+    assert band_c == ws or ws % 128 == 0, \
+        f'source width {ws} must be a multiple of 128 when banded ({band_c})'
     T = (ho // TILE) * (wo // TILE)
     tp = TILE * TILE
     coords = _tile_coords(jnp.asarray(Hs, jnp.float32), out_hw)
