@@ -42,6 +42,18 @@ DEFAULT_DETECTOR_CFG: Dict[str, Any] = {
     # rematerialize the backbone in backward (jax.checkpoint): required to fit
     # train_feats at 512^2 x 4 detection scales in a single chip's HBM
     'remat': False,
+    # shared detect pyramid (VERDICT r4 item 6): ONE backbone pass at the
+    # query's native resolution instead of one full VGG sweep per detection
+    # scale (reference detector.py:232-243 re-runs the backbone per scale).
+    # Negative scales correlate on bilinearly RESIZED FEATURE MAPS (the
+    # info-preserving, cheap direction); positive scales correlate the native
+    # maps against RESIZED REFERENCE FILTER banks (downsampled filters match
+    # smaller objects — cheaper and better-posed than correlating an
+    # upsampled map that carries no new information); scale 0 is exactly the
+    # per-scale computation. An approximation of image-space rescaling, so
+    # the heads must be TRAINED with it on (score_norm adaptive re-centers
+    # each branch either way).
+    'shared_pyramid': False,
 }
 
 POOL_RATIO = 8  # detector.py:155
@@ -192,20 +204,43 @@ class Detector(nn.Module):
             return x0, x1, x2
         return lax.stop_gradient(x0), lax.stop_gradient(x1), lax.stop_gradient(x2)
 
+    @staticmethod
+    def _odd(v):
+        """Nearest odd kernel size >= 3 (odd kernels keep 'same'-padded
+        correlation outputs at the input's spatial size)."""
+        v = max(3, int(round(v)))
+        return v if v % 2 == 1 else v + 1
+
     def load_ref(self, ref_imgs):
         """ref_imgs: (rfn,h,w,3) -> reference feature cache (3 levels at 120x120:
-        15/7/3 spatial, detector.py:199-205)."""
+        15/7/3 spatial, detector.py:199-205).
+
+        With cfg['shared_pyramid'], additionally caches a resized filter bank
+        per POSITIVE detection scale: {'base': (x0,x1,x2), '+0.5': ...}."""
         ref_imgs = resize_nearest(ref_imgs, (120, 120))
-        return self.extract_feats(ref_imgs)
+        feats = self.extract_feats(ref_imgs)
+        if not self._cfg('shared_pyramid'):
+            return feats
+        banks = {'base': feats}
+        for scale in self._cfg('detection_scales'):
+            if scale > 0:
+                banks[f'+{scale}'] = tuple(
+                    resize_bilinear(f, (self._odd(f.shape[1] * 2.0 ** -scale),
+                                        self._odd(f.shape[2] * 2.0 ** -scale)))
+                    for f in feats)
+        return banks
 
     def get_scores(self, que_imgs, ref_feats):
         """-> (qn, rfn, h/8, w/8, 3) normalized correlation scores
         (detector.py:218-230)."""
-        que_x0, que_x1, que_x2 = self.extract_feats(que_imgs)
+        return self._scores_from_feats(self.extract_feats(que_imgs), ref_feats)
+
+    def _scores_from_feats(self, que_feats, ref_feats):
+        que_x0, que_x1, que_x2 = que_feats
         ref_x0, ref_x1, ref_x2 = ref_feats
-        s2 = correlate(que_x2, ref_x2, 1)
-        s1 = correlate(que_x1, ref_x1, 3)
-        s0 = correlate(que_x0, ref_x0, 7)
+        s2 = correlate(que_x2, ref_x2, (ref_x2.shape[1] - 1) // 2)
+        s1 = correlate(que_x1, ref_x1, (ref_x1.shape[1] - 1) // 2)
+        s0 = correlate(que_x0, ref_x0, (ref_x0.shape[1] - 1) // 2)
         s2 = upsample_nearest(s2, 4)
         s1 = upsample_nearest(s1, 2)
         smax = self._cfg('vgg_score_max')
@@ -232,15 +267,40 @@ class Detector(nn.Module):
         qn, hq, wq, _ = que_imgs.shape
         hs, ws = hq // POOL_RATIO, wq // POOL_RATIO
         scores = []
-        for scale in self._cfg('detection_scales'):
-            ht = _round_up_32(hq * 2 ** scale)
-            wt = _round_up_32(wq * 2 ** scale)
-            que = resize_bilinear(que_imgs, (ht, wt))
-            s = self.get_scores(que, ref_feats)  # qn,h',w',rfn,3
-            _, h_, w_, rfn, _ = s.shape
-            s = s.reshape(qn, h_, w_, rfn * 3)
-            s = resize_bilinear(s, (hs, ws))
-            scores.append(s.reshape(qn, hs, ws, rfn, 3))
+        if self._cfg('shared_pyramid'):
+            # one backbone pass; per-scale correlation on resized feature
+            # maps (scale<0) / resized filter banks (scale>0) — see the
+            # shared_pyramid cfg comment
+            que_feats = self.extract_feats(que_imgs)
+            for scale in self._cfg('detection_scales'):
+                if scale == 0:
+                    s = self._scores_from_feats(que_feats, ref_feats['base'])
+                elif scale > 0:
+                    s = self._scores_from_feats(que_feats,
+                                                ref_feats[f'+{scale}'])
+                else:
+                    h8 = max(4, -(-int(round(
+                        que_feats[0].shape[1] * 2.0 ** scale)) // 4) * 4)
+                    w8 = max(4, -(-int(round(
+                        que_feats[0].shape[2] * 2.0 ** scale)) // 4) * 4)
+                    qf = (resize_bilinear(que_feats[0], (h8, w8)),
+                          resize_bilinear(que_feats[1], (h8 // 2, w8 // 2)),
+                          resize_bilinear(que_feats[2], (h8 // 4, w8 // 4)))
+                    s = self._scores_from_feats(qf, ref_feats['base'])
+                _, h_, w_, rfn, _ = s.shape
+                s = s.reshape(qn, h_, w_, rfn * 3)
+                s = resize_bilinear(s, (hs, ws))
+                scores.append(s.reshape(qn, hs, ws, rfn, 3))
+        else:
+            for scale in self._cfg('detection_scales'):
+                ht = _round_up_32(hq * 2 ** scale)
+                wt = _round_up_32(wq * 2 ** scale)
+                que = resize_bilinear(que_imgs, (ht, wt))
+                s = self.get_scores(que, ref_feats)  # qn,h',w',rfn,3
+                _, h_, w_, rfn, _ = s.shape
+                s = s.reshape(qn, h_, w_, rfn * 3)
+                s = resize_bilinear(s, (hs, ws))
+                scores.append(s.reshape(qn, hs, ws, rfn, 3))
         # channel order: scale-major, level-minor (matches torch cat over the
         # stacked level axis, detector.py:245)
         scores = jnp.concatenate(scores, -1)  # qn,hs,ws,rfn,sn*3

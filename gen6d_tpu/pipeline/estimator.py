@@ -74,6 +74,14 @@ class Gen6DEstimator:
         # w-first quaternion undoing the refiner rotation head's systematic
         # near-identity bias (same calibration script); None = identity
         'refine_rot_correction': None,
+        # >0: run the LAST N refine iterations with the ``refiner_polish``
+        # network (a precision fine-tune of the same architecture): the
+        # coarse refiner is trained on wide init noise (first-iteration
+        # coverage of real det/sel errors) and carries a noisy fixed point
+        # (docs/refiner_head_jitter.md: ~5 deg rotation-head error at a GT
+        # init); the polish net is trained on tight noise only. No reference
+        # analogue (the reference's pretrained refiner needs no cascade).
+        'refine_polish_iter': 0,
         # >1: average the last N refine iterates. At the refine fixed point
         # the per-iteration pose estimates jitter around the target (each
         # iteration crops slightly differently -> independent network noise;
@@ -84,6 +92,14 @@ class Gen6DEstimator:
         # around the object with each iterate's pose, average the 2D
         # points, re-solve with PnP. Runs inside the fused program.
         'refine_avg': 0,
+        # pad queries bottom-right with zeros up to the next multiple of this
+        # bucket before the jitted programs see them: arbitrary resolutions
+        # work, and coarser buckets (e.g. 128) merge nearby sizes into one
+        # compiled program (SURVEY §7 hard part 2 — the reference only
+        # requires %32 via its per-scale round_up, detector.py:236-239;
+        # zero-pad is exact for this pipeline: K keeps its principal point
+        # and out-of-image warp taps already read zero)
+        'query_bucket': 32,
         # 'gather': XLA 4-tap gather warps (reference bilinear semantics,
         # works everywhere); 'pallas': the windowed hat-matmul MXU kernel
         # (ops/warp_pallas.py) for the refine prewarp + select crop — the
@@ -95,10 +111,13 @@ class Gen6DEstimator:
         'warp_band_ref': 96,
     }
 
-    def __init__(self, cfg=None, detector=None, selector=None, refiner=None):
+    def __init__(self, cfg=None, detector=None, selector=None, refiner=None,
+                 refiner_polish=None):
         """detector/selector/refiner: (flax module, params) tuples; refiner may
         be None (detection+selection only, as when cfg['refiner'] is None in
-        the reference, estimator.py:112-115)."""
+        the reference, estimator.py:112-115). refiner_polish: optional second
+        refiner (same architecture) run for the last cfg['refine_polish_iter']
+        iterations (see default_cfg)."""
         self.cfg = {**self.default_cfg, **(cfg or {})}
         self.detector, self.detector_params = detector
         self.selector, self.selector_params = selector
@@ -106,6 +125,10 @@ class Gen6DEstimator:
             self.refiner, self.refiner_params = refiner
         else:
             self.refiner = self.refiner_params = None
+        if refiner_polish is not None:
+            self.refiner_polish, self.refiner_polish_params = refiner_polish
+        else:
+            self.refiner_polish = self.refiner_polish_params = None
         self.ref_info = {}
         self._jit_cache = {}
 
@@ -379,10 +402,12 @@ class Gen6DEstimator:
         return denormalize_pose(pose_pr, norm_scale, norm_offset)
 
     def _refine_iter_batch(self, params, que_imgs, que_Ks, poses_in, ref_imgs,
-                           ref_poses, ref_Ks, norm_scale, norm_offset):
+                           ref_poses, ref_Ks, norm_scale, norm_offset,
+                           module=None):
         """One batched refinement iteration: vmapped geometry, then batched
         warps (the hot pixel work — one kernel launch per warp site), then one
-        batched refiner network call."""
+        batched refiner network call. ``module`` overrides the refiner flax
+        module (the polish cascade's second net)."""
         size = self.cfg['refine_size']
         (H_que, que_K_warp, in_pose_warp, que_pose_rect, top_idx, Hs_ref,
          ref_K_new, ref_pose_new) = jax.vmap(
@@ -399,8 +424,9 @@ class Gen6DEstimator:
             sel_imgs.reshape(qn * rn, hc, wc, ch),
             Hs_ref.reshape(qn * rn, 3, 3), size,
             self.cfg['warp_band_ref']).reshape(qn, rn, size, size, ch)
-        out = self.refiner.apply(params, que_warp, que_K_warp, in_pose_warp,
-                                 ref_crops, ref_pose_new, ref_K_new)
+        out = (module or self.refiner).apply(
+            params, que_warp, que_K_warp, in_pose_warp, ref_crops,
+            ref_pose_new, ref_K_new)
         scale_log2 = (out['scale'][:, 0] +
                       float(self.cfg.get('refine_scale_correction', 0.0)))
         quat = out['rotation']
@@ -442,7 +468,7 @@ class Gen6DEstimator:
                                          norm_scale)[0]
         return run
 
-    def _refine_fn(self):
+    def _refine_fn(self, module=None):
         @jax.jit
         def run(params, que_img, que_K, pose_in_raw, ref_imgs, ref_poses,
                 ref_Ks, norm_scale, norm_offset):
@@ -451,8 +477,11 @@ class Gen6DEstimator:
             return self._refine_iter_batch(params, que_img[None], que_K[None],
                                            pose_in_raw[None], ref_imgs,
                                            ref_poses, ref_Ks, norm_scale,
-                                           norm_offset)[0]
+                                           norm_offset, module=module)[0]
         return run
+
+    def _refine_polish_fn(self):
+        return self._refine_fn(module=self.refiner_polish)
 
     def _fused_fn(self):
         """The whole detect -> crop -> select -> solve -> refine xN pipeline as
@@ -463,9 +492,15 @@ class Gen6DEstimator:
         size = self.cfg['ref_resolution']
         refine_iter = self.cfg['refine_iter']
         refine_avg = min(int(self.cfg.get('refine_avg') or 0), refine_iter)
+        polish_iter = 0
+        if self.refiner_polish_params is not None:
+            polish_iter = min(int(self.cfg.get('refine_polish_iter') or 0),
+                              refine_iter)
+        main_iter = refine_iter - polish_iter
 
         @jax.jit
-        def run(det_params, sel_params, ref_params, que_imgs, que_Ks, ref_info):
+        def run(det_params, sel_params, ref_params, que_imgs, que_Ks, ref_info,
+                polish_params=None):
             qn = que_imgs.shape[0]
             out = det.apply(det_params, que_imgs, ref_info['det_ref_feats'],
                             method='detect')
@@ -495,21 +530,44 @@ class Gen6DEstimator:
             if self.refiner is None or refine_iter == 0:
                 return pose0
 
-            def body(poses, _):
-                poses = self._refine_iter_batch(
-                    ref_params, que_imgs, que_Ks, poses,
+            def step(poses, params, module):
+                return self._refine_iter_batch(
+                    params, que_imgs, que_Ks, poses,
                     ref_info['refine_imgs'], ref_info['refine_poses'],
                     ref_info['refine_Ks'], ref_info['norm_scale'],
-                    ref_info['norm_offset'])
-                return poses, (poses if refine_avg > 1 else None)
+                    ref_info['norm_offset'], module=module)
 
-            poses, traj = jax.lax.scan(body, pose0, None, length=refine_iter)
+            poses, trajs = pose0, []
+            if main_iter:
+                def body(poses, _):
+                    poses = step(poses, ref_params, None)
+                    return poses, (poses if refine_avg > 1 else None)
+                poses, traj = jax.lax.scan(body, poses, None, length=main_iter)
+                trajs.append(traj)
+            if polish_iter:  # the precision cascade's tail iterations
+                def body_p(poses, _):
+                    poses = step(poses, polish_params, self.refiner_polish)
+                    return poses, (poses if refine_avg > 1 else None)
+                poses, traj = jax.lax.scan(body_p, poses, None,
+                                           length=polish_iter)
+                trajs.append(traj)
             if refine_avg > 1:
+                traj = jnp.concatenate(trajs, 0) if len(trajs) > 1 else trajs[0]
                 poses = self._avg_refine_traj(
                     traj[refine_iter - refine_avg:], que_Ks,
                     ref_info['center'], ref_info['norm_scale'])
             return poses
         return run
+
+    def _fused_ref_info(self):
+        """The ref_info subtree the fused program consumes (shared by
+        predict_batch and bench.py's device-time/MFU probe)."""
+        keys = ['det_ref_feats', 'sel_feats', 'sel_pose_embed', 'poses', 'Ks',
+                'center']
+        if self.refiner is not None:
+            keys += ['refine_imgs', 'refine_poses', 'refine_Ks', 'norm_scale',
+                     'norm_offset']
+        return {k: self.ref_info[k] for k in keys}
 
     def predict_batch(self, que_imgs, que_Ks, mesh=None, shard_views=False,
                       block=True):
@@ -530,15 +588,10 @@ class Gen6DEstimator:
         workload's sequence-parallelism analogue, SURVEY.md §2.10); rfn must be
         divisible by the view size.
         """
-        que_imgs = np.asarray(que_imgs)
+        que_imgs = self._pad_queries(np.asarray(que_imgs))
         u8_in = que_imgs.dtype == np.uint8
         fused = self._get('fused', self._fused_fn)
-        keys = ['det_ref_feats', 'sel_feats', 'sel_pose_embed', 'poses', 'Ks',
-                'center']
-        if self.refiner is not None:
-            keys += ['refine_imgs', 'refine_poses', 'refine_Ks', 'norm_scale',
-                     'norm_offset']
-        ref_info = {k: self.ref_info[k] for k in keys}
+        ref_info = self._fused_ref_info()
         # ship uint8 over the host->device link (4x less than f32 — the
         # link dominates serving wall time on tunneled chips; docs/profile.md)
         # and convert on device in a separate small program: an elementwise op
@@ -566,21 +619,29 @@ class Gen6DEstimator:
                     'refine_Ks': P('view'),
                 }
                 def put(k, x):
+                    # recurse through the cache containers (the pyramid
+                    # detector's ref cache is a dict of per-scale tuples)
+                    if isinstance(x, dict):
+                        return {kk: put(k, vv) for kk, vv in x.items()}
+                    if isinstance(x, tuple):
+                        return tuple(put(k, e) for e in x)
                     if not isinstance(x, jnp.ndarray):
                         return x
                     spec = view_specs.get(k)
                     sh = NamedSharding(mesh, spec) if spec is not None else rep
                     return jax.device_put(x, sh)
-                ref_info = {
-                    k: (tuple(put(k, e) for e in v) if isinstance(v, tuple)
-                        else put(k, v))
-                    for k, v in ref_info.items()}
+                ref_info = {k: put(k, v) for k, v in ref_info.items()}
             else:
                 ref_info = jax.tree.map(
                     lambda x: jax.device_put(x, rep)
                     if isinstance(x, jnp.ndarray) else x, ref_info)
-        poses = fused(self.detector_params, self.selector_params,
-                      self.refiner_params, que_imgs, que_Ks, ref_info)
+        if self.refiner_polish_params is not None:
+            poses = fused(self.detector_params, self.selector_params,
+                          self.refiner_params, que_imgs, que_Ks, ref_info,
+                          self.refiner_polish_params)
+        else:
+            poses = fused(self.detector_params, self.selector_params,
+                          self.refiner_params, que_imgs, que_Ks, ref_info)
         return np.asarray(poses) if block else poses
 
     def _get(self, name, maker):
@@ -588,11 +649,25 @@ class Gen6DEstimator:
             self._jit_cache[name] = maker()
         return self._jit_cache[name]
 
+    def _pad_queries(self, que_imgs):
+        """Zero-pad a (…,h,w,3) query stack bottom-right to the next
+        cfg['query_bucket'] multiple (see default_cfg). Exact: K and all
+        decode arithmetic are pad-invariant."""
+        b = int(self.cfg.get('query_bucket') or 32)
+        h, w = que_imgs.shape[-3], que_imgs.shape[-2]
+        H, W = -(-h // b) * b, -(-w // b) * b
+        if (H, W) == (h, w):
+            return que_imgs
+        pad = [(0, 0)] * (que_imgs.ndim - 3) + [(0, H - h), (0, W - w), (0, 0)]
+        return np.pad(que_imgs, pad)
+
     # --------------------------------------------------------------- predict
     def predict(self, que_img, que_K, pose_init=None):
-        """que_img: (h,w,3) uint8 or float [0,1] with h,w % 32 == 0;
-        que_K: (3,3). Returns (pose (3,4) numpy, inter_results dict).
-        Mirrors estimator.py:173-216 incl. tracking mode (pose_init)."""
+        """que_img: (h,w,3) uint8 or float [0,1], any resolution (padded to
+        the cfg['query_bucket'] grid); que_K: (3,3). Returns (pose (3,4)
+        numpy, inter_results dict). Mirrors estimator.py:173-216 incl.
+        tracking mode (pose_init)."""
+        que_img = self._pad_queries(np.asarray(que_img))
         if que_img.dtype == np.uint8:
             que_img = que_img.astype(np.float32) / 255.0
         que_img = jnp.asarray(que_img)
@@ -628,14 +703,23 @@ class Gen6DEstimator:
 
         if self.refiner is not None:
             refine = self._get('refine', self._refine_fn)
+            refine_iter = self.cfg['refine_iter']
+            polish_iter = 0
+            if self.refiner_polish_params is not None:
+                polish_iter = min(int(self.cfg.get('refine_polish_iter') or 0),
+                                  refine_iter)
+                refine_p = self._get('refine_polish', self._refine_polish_fn)
             refine_poses = [np.asarray(pose_pr)]
-            for _ in range(self.cfg['refine_iter']):
-                pose_pr = refine(self.refiner_params, que_img, que_K, pose_pr,
-                                 self.ref_info['refine_imgs'],
-                                 self.ref_info['refine_poses'],
-                                 self.ref_info['refine_Ks'],
-                                 self.ref_info['norm_scale'],
-                                 self.ref_info['norm_offset'])
+            for it in range(refine_iter):
+                fn, params = (refine, self.refiner_params) \
+                    if it < refine_iter - polish_iter \
+                    else (refine_p, self.refiner_polish_params)
+                pose_pr = fn(params, que_img, que_K, pose_pr,
+                             self.ref_info['refine_imgs'],
+                             self.ref_info['refine_poses'],
+                             self.ref_info['refine_Ks'],
+                             self.ref_info['norm_scale'],
+                             self.ref_info['norm_offset'])
                 refine_poses.append(np.asarray(pose_pr))
             inter_results['refine_poses'] = refine_poses
             k = min(int(self.cfg.get('refine_avg') or 0),

@@ -124,7 +124,12 @@ def load_estimator(cfg_path):
     refiner = None
     if cfg.get('refiner') is not None:
         refiner = load_network(sub('refiner'), dtype)
+    polish = None
+    if cfg.get('refiner_polish') is not None:
+        # precision cascade: a second refiner for the last
+        # refine_polish_iter iterations (estimator.default_cfg)
+        polish = load_network(sub('refiner_polish'), dtype)
     est_cfg = {k: v for k, v in cfg.items()
                if k in Gen6DEstimator.default_cfg}
     return Gen6DEstimator(est_cfg, detector=detector, selector=selector,
-                          refiner=refiner)
+                          refiner=refiner, refiner_polish=polish)

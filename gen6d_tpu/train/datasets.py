@@ -37,7 +37,7 @@ from gen6d_tpu.data.ref_prep import (look_at_crop_transform,
 from gen6d_tpu.geometry.camera import (let_me_look_at, let_me_look_at_2d,
                                        project_points, view_correlation)
 from gen6d_tpu.geometry.pose import camera_position, pose_compose
-from gen6d_tpu.geometry.rotations import rot_z
+from gen6d_tpu.geometry.rotations import quat_to_mat, rot_z
 from gen6d_tpu.geometry.solvers import (approximate_rigid_to_similarity,
                                         scale_rotation_difference_from_cameras)
 from gen6d_tpu.ops.image import resize_bilinear
@@ -74,7 +74,8 @@ class SyntheticTrainData:
     def __init__(self, database=None, n_views=64, ref_num=32, size=128,
                  margin=0.05, seed=0, scenes=None, augment=True,
                  distractors=True, ref_scale_noise=0.3, ref_rot_noise=15.0,
-                 ref_off_std=4.0, ref_narrow_frac=0.0, max_staged_views=None,
+                 ref_off_std=4.0, ref_narrow_frac=0.0, ref_gt_init_frac=0.0,
+                 ref_vp_noise=10.0, max_staged_views=None,
                  scene_probs=None, background_dir=None,
                  background_pool_size=64, background_res=512):
         # refiner input-pose noise basin (reference train_dataset.py:1274-1293
@@ -84,6 +85,17 @@ class SyntheticTrainData:
         self.ref_rot_noise = float(ref_rot_noise)
         self.ref_off_std = float(ref_off_std)
         self.ref_narrow_frac = float(ref_narrow_frac)
+        # ref_gt_init_frac: probability that a refiner sample's INPUT pose is
+        # the GT query pose orbited by a random rotation of U(0, ref_vp_noise)
+        # deg, instead of a top-8-correlated REFERENCE VIEW (the reference's
+        # only mode, train_dataset.py:1243-1272). The reference-view mode
+        # carries a 15-30 deg out-of-plane viewpoint gap that none of the
+        # warp-noise knobs control — but the serving refine loop's later
+        # iterations feed back the previous OUTPUT pose, whose viewpoint gap
+        # is a few degrees. Without this mode the rotation head never trains
+        # near identity (docs/refiner_head_jitter.md: 5 deg bias at GT init).
+        self.ref_gt_init_frac = float(ref_gt_init_frac)
+        self.ref_vp_noise = float(ref_vp_noise)
         if database is not None:
             dbs = [database]
         else:
@@ -536,9 +548,20 @@ class SyntheticTrainData:
         # normalized-object units (diameter 2, center 0) throughout
         diameter = 2.0
         center = jnp.zeros(3)
-        keys = jax.random.split(key, 8)
+        keys = jax.random.split(key, 11)
         si = self._rand_scene(keys[0])
         vi = jax.random.randint(keys[1], (qn,), 0, pool['imgs'].shape[1])
+        # near-GT input-pose mode (see __init__ ref_gt_init_frac): orbit the
+        # GT pose about the object center by U(0, ref_vp_noise) deg
+        use_gt = jnp.logical_and(
+            jax.random.bernoulli(keys[8], self.ref_gt_init_frac, (qn,)),
+            self.ref_gt_init_frac > 0)
+        vp = jnp.deg2rad(self.ref_vp_noise) * jax.random.uniform(keys[9], (qn,))
+        axis = jax.random.normal(keys[10], (qn, 3))
+        axis = axis / (jnp.linalg.norm(axis, axis=1, keepdims=True) + 1e-8)
+        dquat = jnp.concatenate([jnp.cos(vp / 2)[:, None],
+                                 jnp.sin(vp / 2)[:, None] * axis], 1)
+        dRs = jax.vmap(quat_to_mat)(dquat)
         sn, rn = self.ref_scale_noise, self.ref_rot_noise
         # noise-scale mixture: with prob ref_narrow_frac draw from a 0.3x
         # narrower basin, so one parameter set serves both the first
@@ -558,16 +581,20 @@ class SyntheticTrainData:
         Ks_all = pool['Ks'][si]
         imgs_all_u8 = pool['imgs'][si]
 
-        def build_one(qi, s_aug, r_aug, off, pk):
+        def build_one(qi, s_aug, r_aug, off, pk, gt_i, dR_i):
             que_pose = poses_norm[qi]
             que_K = Ks_all[qi]
             que_img = self._to_f32(imgs_all_u8[qi])
-            # input pose: one of the top-8 correlated views
+            # input pose: one of the top-8 correlated views, or (gt_i) the GT
+            # pose orbited about the object center — X_cam = R(dR X) + t
+            # keeps the camera distance and yields a U(0,vp)-deg viewpoint gap
             corr = view_correlation(que_pose[None], poses_norm, center)[0]
             _, top = jax.lax.top_k(corr, 8)
             ii = top[pk]
-            input_pose_raw = poses_norm[ii]
-            input_K_raw = Ks_all[ii]
+            pose_orbit = jnp.concatenate(
+                [que_pose[:, :3] @ dR_i, que_pose[:, 3:]], 1)
+            input_pose_raw = jnp.where(gt_i, pose_orbit, poses_norm[ii])
+            input_K_raw = jnp.where(gt_i, que_K, Ks_all[ii])
 
             # rectify input to look at the object at canonical scale
             # (train_dataset.py:1260-1272)
@@ -610,7 +637,7 @@ class SyntheticTrainData:
 
         (que_imgs, que_Ks_in, poses_in, poses_sim, poses_warp, ref_imgs,
          ref_poses, ref_Ks) = jax.vmap(build_one)(vi, scale_aug, rot_aug,
-                                                  off_aug, pick)
+                                                  off_aug, pick, use_gt, dRs)
         if self.augment:
             que_imgs = photometric_aug(keys[6], que_imgs, p_blur=0.15,
                                        p_motion=0.1, p_jitter=0.5,

@@ -71,7 +71,11 @@ def refiner_pose_metrics(quat_pr, scale_pr, offset_pr, poses_in, Ks_in,
         object_pts, poses_pr, poses_gt_warp, Ks_in)
     return {'pose_add-0.1': (obj < 0.1 * diameter).astype(jnp.float32),
             'pose_prj-5': (prj < 5.0).astype(jnp.float32),
-            'pose_obj_err': obj}
+            'pose_obj_err': obj,
+            # continuous prj error (warped-crop px): the polish-refiner
+            # best-checkpoint key — the thresholded prj-5 indicator is too
+            # noisy at val-sweep sizes (VERDICT r4 weak 3)
+            'pose_prj_err': prj}
 
 
 def key_metric_mean_iou(results):

@@ -299,6 +299,13 @@ class Trainer:
                 for k, v in self._val_run(self.params, batch).items():
                     acc.setdefault(k, []).append(float(v))
         m = {k: float(np.mean(v)) for k, v in acc.items()}
+        # explicit best-checkpoint key, e.g. '-pose_prj_err' (leading '-'
+        # negates an error so higher stays better): the polish-refiner
+        # stage selects on projection error, not the default object error
+        vk = self.cfg.get('val_key')
+        if vk:
+            sign = -1.0 if vk.startswith('-') else 1.0
+            return m, sign * m[vk.lstrip('-')]
         if net == 'detector':
             return m, m['iou']
         if net == 'selector':

@@ -248,6 +248,28 @@ class TestPredict:
             pose_i, _ = est.predict(imgs[i], Ks[i])
             np.testing.assert_allclose(batch_poses[i], pose_i, atol=2e-3)
 
+    def test_polish_cascade_identity_params(self, models):
+        """With the polish net sharing the coarse net's weights, the cascade
+        (refine_polish_iter) must reproduce the single-net program exactly —
+        in the fused batch path and the per-stage predict path."""
+        det, sel, refi = models
+        db = small_db()
+        cfg = {'ref_view_num': 8, 'det_ref_view_num': 4,
+               'refine_even_num': 16, 'refine_iter': 2}
+        est0 = Gen6DEstimator(cfg, detector=det, selector=sel, refiner=refi)
+        est0.build(db, 'synthetic_split')
+        est1 = Gen6DEstimator({**cfg, 'refine_polish_iter': 1},
+                              detector=det, selector=sel, refiner=refi,
+                              refiner_polish=refi)
+        est1.ref_info = est0.ref_info
+        img, _ = db.scene.render(1)
+        imgs, Ks = img[None], np.stack([db.scene.K])
+        np.testing.assert_allclose(est1.predict_batch(imgs, Ks),
+                                   est0.predict_batch(imgs, Ks), atol=2e-3)
+        p0, _ = est0.predict(img, db.scene.K)
+        p1, _ = est1.predict(img, db.scene.K)
+        np.testing.assert_allclose(p1, p0, atol=2e-3)
+
     def test_predict_batch_dp_sharded(self, built_estimator):
         """The fused program under a dp mesh (multi-chip pose server) must
         reproduce the single-device result."""
@@ -261,6 +283,25 @@ class TestPredict:
         with mesh:
             sharded = est.predict_batch(imgs, Ks, mesh=mesh)
         np.testing.assert_allclose(sharded, ref, atol=1e-3)
+
+    def test_mixed_query_resolutions(self, built_estimator):
+        """Arbitrary query resolutions in ONE session (SURVEY §7 hard part 2):
+        non-/32 sizes are zero-padded to the query_bucket grid — identical to
+        the caller pre-padding — and a second bucket just retraces."""
+        est, db = built_estimator
+        img, _ = db.scene.render(3)  # 256x320
+        K = db.scene.K
+        crop = img[:249, :311]
+        padded = np.zeros_like(img)
+        padded[:249, :311] = crop
+        p1, _ = est.predict(crop, K)
+        p2, _ = est.predict(padded, K)
+        np.testing.assert_allclose(p1, p2, atol=1e-4)
+        p3 = est.predict_batch(crop[None], np.asarray(K)[None])
+        np.testing.assert_allclose(p3[0], p1, atol=2e-3)
+        sq = img[:192, :192]  # second bucket in the same session
+        p4, _ = est.predict(sq, K)
+        assert np.all(np.isfinite(p4))
 
     def test_tracking_mode(self, built_estimator):
         """pose_init given -> detection/selection skipped (estimator.py:206-215)."""

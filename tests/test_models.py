@@ -422,3 +422,45 @@ class TestResNet18:
         for o, r in zip(outs, refs):
             assert o.shape == r.shape
             np.testing.assert_allclose(np.asarray(o), r, atol=2e-4)
+
+
+class TestSharedPyramid:
+    """The shared detect pyramid (detector cfg shared_pyramid): one backbone
+    pass + per-scale feature/filter resizing instead of one VGG sweep per
+    detection scale (reference network/detector.py:232-243)."""
+
+    def test_scale0_exact_match(self):
+        """With detection_scales=[0.0] the pyramid path IS the per-scale
+        computation — exact golden anchor (no resizing happens)."""
+        cfg = {'detection_scales': (0.0,), 'score_norm': 'adaptive'}
+        det0 = Detector(cfg)
+        det1 = Detector({**cfg, 'shared_pyramid': True})
+        key = jax.random.PRNGKey(0)
+        ref = jax.random.uniform(key, (3, 128, 128, 3))
+        que = jax.random.uniform(jax.random.fold_in(key, 1), (2, 64, 96, 3))
+        params = det0.init(key, ref, que)  # shared_pyramid adds no params
+        out0 = jax.jit(det0.apply)(params, ref, que)
+        out1 = jax.jit(det1.apply)(params, ref, que)
+        for k in ('scores', 'select_pr_scale', 'select_pr_offset'):
+            np.testing.assert_allclose(out1[k], out0[k], atol=1e-5, err_msg=k)
+
+    def test_four_scale_reference_operating_point(self):
+        """4 reference scales incl. +0.5 (filter-resized bank): correct head
+        shapes, finite outputs, and a ref cache with the extra '+0.5' bank."""
+        det = Detector({'detection_scales': (-1.0, -0.5, 0.0, 0.5),
+                        'score_norm': 'adaptive', 'shared_pyramid': True})
+        key = jax.random.PRNGKey(1)
+        ref = jax.random.uniform(key, (3, 128, 128, 3))
+        que = jax.random.uniform(jax.random.fold_in(key, 1), (2, 64, 96, 3))
+        params = det.init(key, ref, que)
+        cache = jax.jit(lambda p, r: det.apply(p, r, method='load_ref'))(
+            params, ref)
+        assert set(cache.keys()) == {'base', '+0.5'}
+        # filters downsampled 2^-0.5 and forced odd: 15->11, 7->5, 3->3
+        assert [f.shape[1] for f in cache['+0.5']] == [11, 5, 3]
+        out = jax.jit(lambda p, q, c: det.apply(p, q, c, method='detect'))(
+            params, que, cache)
+        assert out['scores'].shape == (2, 8, 12, 1)
+        assert out['select_pr_offset'].shape == (2, 8, 12, 2)
+        for k in ('scores', 'select_pr_scale', 'select_pr_offset'):
+            assert np.all(np.isfinite(np.asarray(out[k]))), k

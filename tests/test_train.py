@@ -376,3 +376,32 @@ class TestWeightsIO:
         save_params_npz(params, path)
         with pytest.raises(KeyError):
             load_params_npz(path, {'a': jnp.zeros(3), 'b': jnp.zeros(2)})
+
+
+@pytest.mark.slow
+def test_ref_batch_gt_init_mode():
+    """ref_gt_init_frac=1: the refiner input pose is the GT pose orbited
+    <= ref_vp_noise deg (serving's later-iteration distribution), vs the
+    top-8 reference-view mode whose out-of-plane gap is tens of degrees
+    (docs/refiner_head_jitter.md rotation-bias root cause)."""
+    import jax
+    from gen6d_tpu.geometry.rotations import rotation_angle
+    from gen6d_tpu.train.datasets import SyntheticTrainData
+
+    def gaps(frac):
+        d = SyntheticTrainData(scenes=['cube-stripes@10'], n_views=16,
+                               ref_gt_init_frac=frac, ref_vp_noise=5.0,
+                               ref_scale_noise=0.05, ref_rot_noise=2.0,
+                               ref_off_std=0.5, augment=False,
+                               distractors=False)
+        b = d.ref_batch(jax.random.PRNGKey(0), qn=4)
+        Rin = np.asarray(b['que_poses_in'])[:, :, :3]
+        Rq = np.asarray(b['que_poses_warp'])[:, :, :3]
+        return np.asarray([np.degrees(float(rotation_angle(Rin[i] @ Rq[i].T)))
+                           for i in range(4)])
+
+    g_gt = gaps(1.0)
+    g_top8 = gaps(0.0)
+    # vp orbit 5 deg + in-plane warp noise 2 deg (+ small numerics)
+    assert np.all(g_gt <= 8.0), g_gt
+    assert np.median(g_top8) > 15.0, g_top8
