@@ -107,6 +107,8 @@ def device_stats(est, imgs, Ks, batch):
     queK = jnp.asarray(Ks[:batch], jnp.float32)
     args = (est.detector_params, est.selector_params, est.refiner_params,
             que, queK, ref_info)
+    if est.refiner_polish_params is not None:  # cascade tail net
+        args = args + (est.refiner_polish_params,)
     out = {}
     try:
         ca = fused.lower(*args).compile().cost_analysis()

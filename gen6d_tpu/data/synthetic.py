@@ -91,7 +91,37 @@ def _hull_faces(v):
     return out
 
 
-SHAPES = ('cube', 'cuboid', 'tet', 'oct', 'prism', 'ico', 'slab')
+def _dodeca_mesh():
+    """Dodecahedron (12 pentagonal faces) via the hull of its 20 vertices."""
+    v = []
+    for x in (-1, 1):
+        for y in (-1, 1):
+            for z in (-1, 1):
+                v.append([x, y, z])
+    for a in (-1 / _PHI, 1 / _PHI):
+        for b in (-_PHI, _PHI):
+            v += [[0, a, b], [a, b, 0], [b, 0, a]]
+    v = np.asarray(v, np.float32)
+    v = v / np.linalg.norm(v[0]) * 0.58
+    return v, _hull_faces(v)
+
+
+def _bipyr_mesh(n_sides=5, height=0.65, radius=0.5):
+    """n-gonal bipyramid: an equatorial ring + two apexes."""
+    th = 2 * np.pi * np.arange(n_sides) / n_sides
+    ring = np.stack([radius * np.cos(th), radius * np.sin(th),
+                     np.zeros(n_sides)], 1)
+    v = np.concatenate([ring, [[0, 0, height], [0, 0, -height]]],
+                       0).astype(np.float32)
+    faces = []
+    for i in range(n_sides):
+        j = (i + 1) % n_sides
+        faces += [[i, j, n_sides], [j, i, n_sides + 1]]
+    return v, faces
+
+
+SHAPES = ('cube', 'cuboid', 'tet', 'oct', 'prism', 'ico', 'slab',
+          'dodeca', 'wedge', 'bipyr')
 
 
 def make_solid(shape):
@@ -108,8 +138,14 @@ def make_solid(shape):
         v, faces = _oct_mesh()
     elif shape == 'prism':
         v, faces = _prism_mesh()
+    elif shape == 'wedge':
+        v, faces = _prism_mesh(n_sides=3, height=0.9, radius=0.55)
     elif shape == 'ico':
         v, faces = _ico_mesh()
+    elif shape == 'dodeca':
+        v, faces = _dodeca_mesh()
+    elif shape == 'bipyr':
+        v, faces = _bipyr_mesh()
     else:
         raise ValueError(shape)
     # normalize outward orientation: the solid is star-shaped around origin
@@ -123,7 +159,7 @@ def make_solid(shape):
 
 
 # ---------------------------------------------------------------- textures
-TEXTURES = ('checks', 'stripes', 'noise', 'blobs')
+TEXTURES = ('checks', 'stripes', 'noise', 'blobs', 'rings', 'grid')
 
 
 def face_texture(base_color, texture='checks', size=64, seed=0):
@@ -159,6 +195,27 @@ def face_texture(base_color, texture='checks', size=64, seed=0):
             col = np.clip(base + rng.randint(-90, 90, 3), 0, 255)
             cv2.circle(tex, (int(c[0]), int(c[1])), int(r),
                        tuple(float(x) for x in col), -1)
+    elif texture == 'rings':
+        tex = np.tile(base, (size, size, 1)).astype(np.float32)
+        c = rng.randint(size // 4, 3 * size // 4, 2)
+        period = int(rng.choice([5, 7, 10]))
+        other = np.clip(base * rng.uniform(0.3, 0.7) +
+                        rng.randint(-50, 50, 3), 0, 255)
+        yy, xx = np.mgrid[0:size, 0:size]
+        rr = np.sqrt((xx - c[0]) ** 2 + (yy - c[1]) ** 2)
+        ring = ((rr // period) % 2).astype(np.float32)[..., None]
+        tex = ring * base + (1 - ring) * other
+    elif texture == 'grid':
+        shade = rng.uniform(0.75, 1.1)
+        tex = np.tile(np.clip(base * shade, 0, 255),
+                      (size, size, 1)).astype(np.float32)
+        cell = int(rng.choice([8, 12, 16]))
+        line = np.clip(base + rng.choice([-1, 1]) * rng.randint(60, 120, 3),
+                       0, 255)
+        w = max(1, cell // 6)
+        for k in range(0, size, cell):
+            tex[k:k + w, :] = line
+            tex[:, k:k + w] = line
     else:
         raise ValueError(texture)
     return np.clip(tex, 0, 255).astype(np.uint8)

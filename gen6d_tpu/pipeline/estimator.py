@@ -74,6 +74,12 @@ class Gen6DEstimator:
         # w-first quaternion undoing the refiner rotation head's systematic
         # near-identity bias (same calibration script); None = identity
         'refine_rot_correction': None,
+        # per-stage overrides for the polish cascade's tail net: the coarse
+        # corrections above calibrate the WIDE-noise refiner and must not
+        # leak onto the tight-noise polish net (and vice versa). None =
+        # fall back to 0 / identity for the polish stage.
+        'polish_scale_correction': 0.0,
+        'polish_rot_correction': None,
         # >0: run the LAST N refine iterations with the ``refiner_polish``
         # network (a precision fine-tune of the same architecture): the
         # coarse refiner is trained on wide init noise (first-iteration
@@ -427,10 +433,15 @@ class Gen6DEstimator:
         out = (module or self.refiner).apply(
             params, que_warp, que_K_warp, in_pose_warp, ref_crops,
             ref_pose_new, ref_K_new)
+        # stage-specific calibration: the polish net has its own (usually
+        # ~zero) corrections; the coarse net's wide-noise corrections must
+        # not be applied to it (cfg polish_*_correction)
+        is_polish = module is not None and module is self.refiner_polish
+        stage = 'polish' if is_polish else 'refine'
         scale_log2 = (out['scale'][:, 0] +
-                      float(self.cfg.get('refine_scale_correction', 0.0)))
+                      float(self.cfg.get(f'{stage}_scale_correction') or 0.0))
         quat = out['rotation']
-        rot_corr = self.cfg.get('refine_rot_correction')
+        rot_corr = self.cfg.get(f'{stage}_rot_correction')
         if rot_corr is not None:
             # left-compose the inverse bias: q_pred ~ q_bias o q_true at
             # identity, so R_eff = R_bias^T @ R_pred

@@ -50,24 +50,54 @@ def _clean_env():
     return env
 
 
-def test_linemod_eval_trained_accuracy():
+_BODY_GENMOP = """
+import json
+import os
+import sys
+sys.path.insert(0, %(repo)r)
+os.chdir(%(repo)r)
+import subprocess
+name = 'r5evalobj'
+root = os.path.join('data', 'GenMOP', name + '-ref')
+if not os.path.exists(root):
+    subprocess.run([sys.executable, 'scripts/make_genmop_synthetic.py',
+                    '--name', name, '--n_ref', '96', '--n_test', '24',
+                    '--shape', 'cube', '--texture', 'checks', '--seed', '21'],
+                   check=True)
+from gen6d_tpu.cli.eval import evaluate
+m = evaluate('configs/gen6d_synthetic.yaml', 'genmop/' + name)
+print('RESULT ' + json.dumps({k: float(v) for k, v in m.items()
+                              if k in ('add-0.1d', 'prj-5')}))
+"""
+
+
+def _run_eval(body_tpl, floor):
     env = _clean_env()
     probe = subprocess.run([sys.executable, '-c', _PROBE], env=env,
                            capture_output=True, text=True, cwd=REPO)
     if 'TPU' not in probe.stdout or 'NOTPU' in probe.stdout:
         pytest.skip('no TPU attached')
-    if not os.path.exists(os.path.join(REPO, 'weights',
-                                       'refiner_r4.npz')):
+    if not os.path.exists(os.path.join(REPO, 'weights', 'refiner_r4.npz')):
         pytest.skip('trained weight snapshots missing')
-    body = _BODY % {'repo': REPO}
-    res = subprocess.run([sys.executable, '-c', body], env=env,
-                         capture_output=True, text=True, cwd=REPO,
+    res = subprocess.run([sys.executable, '-c', body_tpl % {'repo': REPO}],
+                         env=env, capture_output=True, text=True, cwd=REPO,
                          timeout=3600)
     assert res.returncode == 0, res.stderr[-2000:]
     line = [l for l in res.stdout.splitlines() if l.startswith('RESULT ')]
     assert line, res.stdout[-2000:]
     import json
     m = json.loads(line[0][len('RESULT '):])
+    assert m['add-0.1d'] >= floor, m
+    return m
+
+
+def test_linemod_eval_trained_accuracy():
     # the round-4 production operating point scores 0.78 on the held-out
     # synthetic scene; the disk twin must stay in that regime
-    assert m['add-0.1d'] >= 0.7, m
+    _run_eval(_BODY, 0.7)
+
+
+def test_genmop_eval_trained_accuracy():
+    # GenMOP twin: test sequence vs ref sequence through align.pkl gauge
+    # transfer (reference eval.py:101-107) with trained weights
+    _run_eval(_BODY_GENMOP, 0.7)
