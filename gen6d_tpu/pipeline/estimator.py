@@ -88,6 +88,14 @@ class Gen6DEstimator:
         # init); the polish net is trained on tight noise only. No reference
         # analogue (the reference's pretrained refiner needs no cascade).
         'refine_polish_iter': 0,
+        # >1: average the last N POLISH iterates (see refine_avg below for the
+        # mechanism). The polish net's per-step error is mostly conditional on
+        # the query (docs/refiner_head_jitter.md: 2.9 deg mean bias vs 0.7 deg
+        # across-query std), so iterating it compounds a drift — the cascade
+        # therefore averages the COARSE trajectory first (refine_avg), applies
+        # the polish steps from that averaged pose, and only averages polish
+        # iterates if this is >1. 0/1 = take the last polish output.
+        'polish_avg': 0,
         # >1: average the last N refine iterates. At the refine fixed point
         # the per-iteration pose estimates jitter around the target (each
         # iteration crops slightly differently -> independent network noise;
@@ -502,12 +510,13 @@ class Gen6DEstimator:
         sel = self.selector
         size = self.cfg['ref_resolution']
         refine_iter = self.cfg['refine_iter']
-        refine_avg = min(int(self.cfg.get('refine_avg') or 0), refine_iter)
         polish_iter = 0
         if self.refiner_polish_params is not None:
             polish_iter = min(int(self.cfg.get('refine_polish_iter') or 0),
                               refine_iter)
         main_iter = refine_iter - polish_iter
+        refine_avg = min(int(self.cfg.get('refine_avg') or 0), main_iter)
+        polish_avg = min(int(self.cfg.get('polish_avg') or 0), polish_iter)
 
         @jax.jit
         def run(det_params, sel_params, ref_params, que_imgs, que_Ks, ref_info,
@@ -548,25 +557,31 @@ class Gen6DEstimator:
                     ref_info['refine_Ks'], ref_info['norm_scale'],
                     ref_info['norm_offset'], module=module)
 
-            poses, trajs = pose0, []
+            # cascade order matters: average the COARSE trajectory into one
+            # low-variance pose FIRST, then run the polish steps from it (the
+            # polish net's error is query-conditional, so its iterates drift
+            # rather than jitter — averaging across the stage boundary dilutes
+            # the polish gain; docs/refiner_head_jitter.md)
+            poses = pose0
             if main_iter:
                 def body(poses, _):
                     poses = step(poses, ref_params, None)
                     return poses, (poses if refine_avg > 1 else None)
                 poses, traj = jax.lax.scan(body, poses, None, length=main_iter)
-                trajs.append(traj)
+                if refine_avg > 1:
+                    poses = self._avg_refine_traj(
+                        traj[main_iter - refine_avg:], que_Ks,
+                        ref_info['center'], ref_info['norm_scale'])
             if polish_iter:  # the precision cascade's tail iterations
                 def body_p(poses, _):
                     poses = step(poses, polish_params, self.refiner_polish)
-                    return poses, (poses if refine_avg > 1 else None)
+                    return poses, (poses if polish_avg > 1 else None)
                 poses, traj = jax.lax.scan(body_p, poses, None,
                                            length=polish_iter)
-                trajs.append(traj)
-            if refine_avg > 1:
-                traj = jnp.concatenate(trajs, 0) if len(trajs) > 1 else trajs[0]
-                poses = self._avg_refine_traj(
-                    traj[refine_iter - refine_avg:], que_Ks,
-                    ref_info['center'], ref_info['norm_scale'])
+                if polish_avg > 1:
+                    poses = self._avg_refine_traj(
+                        traj[polish_iter - polish_avg:], que_Ks,
+                        ref_info['center'], ref_info['norm_scale'])
             return poses
         return run
 
@@ -720,24 +735,38 @@ class Gen6DEstimator:
                 polish_iter = min(int(self.cfg.get('refine_polish_iter') or 0),
                                   refine_iter)
                 refine_p = self._get('refine_polish', self._refine_polish_fn)
+            main_iter = refine_iter - polish_iter
+
+            def run_stage(pose_pr, fn, params, n_iter, avg_k, traj_out):
+                # one cascade stage: n_iter refine steps, then optionally
+                # average the last avg_k iterates (mirrors _fused_fn)
+                stage_traj = []
+                for _ in range(n_iter):
+                    pose_pr = fn(params, que_img, que_K, pose_pr,
+                                 self.ref_info['refine_imgs'],
+                                 self.ref_info['refine_poses'],
+                                 self.ref_info['refine_Ks'],
+                                 self.ref_info['norm_scale'],
+                                 self.ref_info['norm_offset'])
+                    stage_traj.append(np.asarray(pose_pr))
+                traj_out.extend(stage_traj)
+                k = min(avg_k, n_iter)
+                if k > 1:
+                    avg = self._get('avg_refine', self._avg_refine_fn)
+                    pose_pr = avg(jnp.asarray(stage_traj[-k:]), que_K,
+                                  self.ref_info['center'],
+                                  self.ref_info['norm_scale'])
+                return pose_pr
+
             refine_poses = [np.asarray(pose_pr)]
-            for it in range(refine_iter):
-                fn, params = (refine, self.refiner_params) \
-                    if it < refine_iter - polish_iter \
-                    else (refine_p, self.refiner_polish_params)
-                pose_pr = fn(params, que_img, que_K, pose_pr,
-                             self.ref_info['refine_imgs'],
-                             self.ref_info['refine_poses'],
-                             self.ref_info['refine_Ks'],
-                             self.ref_info['norm_scale'],
-                             self.ref_info['norm_offset'])
-                refine_poses.append(np.asarray(pose_pr))
+            pose_pr = run_stage(pose_pr, refine, self.refiner_params,
+                                main_iter,
+                                int(self.cfg.get('refine_avg') or 0),
+                                refine_poses)
+            if polish_iter:
+                pose_pr = run_stage(pose_pr, refine_p,
+                                    self.refiner_polish_params, polish_iter,
+                                    int(self.cfg.get('polish_avg') or 0),
+                                    refine_poses)
             inter_results['refine_poses'] = refine_poses
-            k = min(int(self.cfg.get('refine_avg') or 0),
-                    len(refine_poses) - 1)
-            if k > 1:
-                avg = self._get('avg_refine', self._avg_refine_fn)
-                pose_pr = avg(jnp.asarray(refine_poses[-k:]), que_K,
-                              self.ref_info['center'],
-                              self.ref_info['norm_scale'])
         return np.asarray(pose_pr), inter_results

@@ -28,6 +28,10 @@ def main():
     ap.add_argument('--scenes', nargs='*', default=None)
     ap.add_argument('--n_views', type=int, default=128)
     ap.add_argument('--per_scene', type=int, default=16)
+    ap.add_argument('--polish', action='store_true',
+                    help='calibrate the cascade tail net (cfg refiner_polish) '
+                         'instead of the coarse refiner — fits the '
+                         'polish_{scale,rot}_correction estimator keys')
     args = ap.parse_args()
 
     import jax
@@ -41,6 +45,10 @@ def main():
         for s in DEFAULT_TRAIN_SCENES]
 
     est = load_estimator(args.cfg)
+    if args.polish:
+        assert est.refiner_polish is not None, '--polish needs refiner_polish'
+        est.refiner, est.refiner_params = (est.refiner_polish,
+                                           est.refiner_polish_params)
 
     def raw_out(params, que_imgs, que_Ks, poses_in, ri, rp, rk, ns, no):
         # mirror of estimator._refine_iter_batch's prelude, returning the RAW

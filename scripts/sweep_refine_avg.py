@@ -52,11 +52,13 @@ def main():
     for pair in args.grid.split(','):
         parts = [int(v) for v in pair.split(':')]
         it, avg = parts[0], parts[1]
-        pol = parts[2] if len(parts) > 2 else None  # it:avg:polish_iter
+        pol = parts[2] if len(parts) > 2 else None  # it:avg:polish:polish_avg
         est.cfg['refine_iter'] = it
         est.cfg['refine_avg'] = avg
         if pol is not None:
             est.cfg['refine_polish_iter'] = pol
+        if len(parts) > 3:
+            est.cfg['polish_avg'] = parts[3]
         est._jit_cache.pop('fused', None)  # cfg is baked into the program
         t0 = time.time()
         poses = []
@@ -80,6 +82,7 @@ def main():
         prj_errs = np.asarray(prj_errs)
         row = {'refine_iter': it, 'refine_avg': avg,
                'polish_iter': est.cfg.get('refine_polish_iter', 0),
+               'polish_avg': est.cfg.get('polish_avg', 0),
                'prj_p50': round(float(np.percentile(prj_errs, 50)), 2),
                'prj_p75': round(float(np.percentile(prj_errs, 75)), 2),
                'prj_p90': round(float(np.percentile(prj_errs, 90)), 2),
