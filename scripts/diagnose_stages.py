@@ -29,8 +29,16 @@ def main():
     ap.add_argument('--scene', default='synthetic/128')
     ap.add_argument('--n', type=int, default=16)
     ap.add_argument('--out', default='docs/stage_diagnosis.md')
+    ap.add_argument('--cpu', action='store_true',
+                    help='force the CPU backend (a sitecustomize re-forces '
+                         'JAX_PLATFORMS=axon, so only the config value works)')
     args = ap.parse_args()
 
+    if args.cpu:
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from gen6d_tpu.data import database as dbm
     from gen6d_tpu.geometry.camera import project_points, view_correlation
@@ -42,6 +50,8 @@ def main():
     enable_persistent_cache()
 
     est = load_estimator(args.cfg)
+    if args.cpu:
+        est.cfg['warp_method'] = 'gather'  # Pallas kernels are TPU-only
     db = dbm.parse_database_name(args.scene)
     est.build(db, 'synthetic_split')
     _, que_ids = dbm.get_database_split(db, 'synthetic_split')
