@@ -45,6 +45,9 @@ def main():
     ap.add_argument('--scale_dither', type=float, default=0.05,
                     help='crop scale dither, +-log2 uniform')
     ap.add_argument('--out', default='docs/refiner_head_jitter.md')
+    ap.add_argument('--polish', action='store_true',
+                    help='probe the cascade polish net (cfg refiner_polish) '
+                         'instead of the coarse refiner')
     args = ap.parse_args()
 
     import jax
@@ -66,6 +69,11 @@ def main():
 
     est = load_estimator(args.cfg)
     assert est.refiner is not None
+    if args.polish:
+        assert est.refiner_polish is not None, (
+            f'{args.cfg} has no refiner_polish stage')
+        est.refiner = est.refiner_polish
+        est.refiner_params = est.refiner_polish_params
     db = dbm.parse_database_name(args.scene)
     est.build(db, 'synthetic_split')
     ref = est.ref_info

@@ -37,6 +37,14 @@ def main():
     ap.add_argument('--n', type=int, default=16)
     ap.add_argument('--det_scale_correction', type=float, default=None,
                     help='override the config value (e.g. a freshly fitted one)')
+    ap.add_argument('--variants', type=str, default=None,
+                    help='semicolon list "ri,pi,ra,pa;..." overriding the '
+                         'built-in VARIANTS (ri=total refine iters, pi=polish '
+                         'iters, ra=refine_avg, pa=polish_avg)')
+    ap.add_argument('--gt_init', action='store_true',
+                    help='feed the GT pose as pose_init (tracking mode): '
+                         'measures pure cascade convergence to the refiner '
+                         'fixed point, no det/sel error')
     ap.add_argument('--cpu', action='store_true',
                     help='force the CPU backend (a sitecustomize re-forces '
                          'JAX_PLATFORMS=axon, so only the config value works)')
@@ -69,13 +77,19 @@ def main():
     Ks = [np.asarray(db.get_K(q), np.float32) for q in que_ids]
     gts = [np.asarray(db.get_pose(q), np.float32) for q in que_ids]
 
-    for (ri, pi, ra, pa) in VARIANTS:
+    variants = VARIANTS
+    if args.variants:
+        variants = [tuple(int(x) for x in v.split(','))
+                    for v in args.variants.split(';') if v.strip()]
+
+    for (ri, pi, ra, pa) in variants:
         est.cfg['refine_iter'] = ri
         est.cfg['refine_polish_iter'] = pi
         est.cfg['refine_avg'] = ra
         est.cfg['polish_avg'] = pa
-        poses = [np.asarray(est.predict(im, K)[0])
-                 for im, K in zip(imgs, Ks)]
+        poses = [np.asarray(est.predict(
+                     im, K, pose_init=(gt if args.gt_init else None))[0])
+                 for im, K, gt in zip(imgs, Ks, gts)]
         m = compute_metrics(object_pts, diameter, np.stack(gts),
                             np.stack(poses), np.stack(Ks))
         print(f'iter{ri - pi}+{pi} avg{ra}/{pa}: '
